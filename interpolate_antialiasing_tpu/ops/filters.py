@@ -1,0 +1,126 @@
+"""Continuous reconstruction filters for antialiased resampling.
+
+These are the same filter family Pillow's ``ImagingResample`` uses and that the
+reference exposes through its ``HelperInterp{Linear,Nearest,Cubic}`` structs
+(reference: step_two_dot_two/aa_interpolation_impl.h:292-300, 367-372, 410-424).
+
+Each filter is described by
+
+  * ``support`` — half-width of the kernel's support in *source* pixels when no
+    antialiasing widening is applied (bilinear: 1, box: 0.5, cubic: 2), and
+  * a vectorised evaluation function ``f(x)`` valid for any array ``x``
+    (numpy or jax.numpy), with ``f(x) == 0`` for ``|x| >= support``.
+
+The functions are written against the ``numpy`` API surface shared by numpy and
+``jax.numpy`` so a single definition serves both the host-side (float64, exact
+table precompute) and traced (in-graph / in-Pallas-kernel) paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+__all__ = [
+    "Filter",
+    "FILTERS",
+    "get_filter",
+    "triangle_filter",
+    "box_filter",
+    "keys_cubic_filter",
+    "lanczos3_filter",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class Filter:
+    """A continuous resampling filter.
+
+    ``support`` matches the reference's ``interp_size * 0.5``: the reference
+    stores ``interp_size`` (2 for linear, 1 for nearest/box, 4 for cubic) and
+    derives ``support = interp_size * 0.5`` (optionally scaled for AA); we
+    store the support directly.
+    """
+
+    name: str
+    support: float
+
+    def __call__(self, x, xp) -> Any:
+        raise NotImplementedError
+
+    @property
+    def interp_size(self) -> int:
+        """The reference's base ``interp_size`` (= 2 * support)."""
+        return int(round(2 * self.support))
+
+
+@dataclasses.dataclass(frozen=True)
+class _FnFilter(Filter):
+    fn: Callable[[Any, Any], Any] = None  # type: ignore[assignment]
+
+    def __call__(self, x, xp):
+        return self.fn(x, xp)
+
+
+def triangle_filter(x, xp):
+    """Triangle / tent filter: the 'bilinear' kernel.
+
+    max(0, 1 - |x|); Pillow's ``bilinear_filter``
+    (reference: step_two_dot_two/aa_interpolation_impl.h:292-300).
+    """
+    ax = xp.abs(x)
+    return xp.where(ax < 1.0, 1.0 - ax, xp.zeros_like(ax))
+
+
+def box_filter(x, xp):
+    """Box filter: Pillow's NEAREST-ish 'box' kernel.
+
+    1 on (-0.5, 0.5], else 0
+    (reference: step_two_dot_two/aa_interpolation_impl.h:367-372).
+    """
+    one = xp.ones_like(x)
+    zero = xp.zeros_like(x)
+    return xp.where((x > -0.5) & (x <= 0.5), one, zero)
+
+
+def keys_cubic_filter(x, xp):
+    """Keys bicubic kernel with a = -0.5 (Catmull-Rom family).
+
+    Pillow's ``bicubic_filter``
+    (reference: step_two_dot_two/aa_interpolation_impl.h:410-424).
+    """
+    a = -0.5
+    ax = xp.abs(x)
+    inner = ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
+    outer = (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a
+    return xp.where(ax < 1.0, inner, xp.where(ax < 2.0, outer, xp.zeros_like(ax)))
+
+
+def lanczos3_filter(x, xp):
+    """Lanczos-3 windowed sinc (Pillow's LANCZOS). Extension beyond the
+    reference's three filters; same table machinery applies."""
+    ax = xp.abs(x)
+    # sinc(x) * sinc(x/3) on |x| < 3. numpy.sinc is the normalized sinc.
+    val = xp.sinc(x) * xp.sinc(x / 3.0)
+    return xp.where(ax < 3.0, val, xp.zeros_like(ax))
+
+
+FILTERS: dict[str, Filter] = {
+    "bilinear": _FnFilter("bilinear", 1.0, fn=triangle_filter),
+    "linear": _FnFilter("linear", 1.0, fn=triangle_filter),
+    "triangle": _FnFilter("triangle", 1.0, fn=triangle_filter),
+    "nearest": _FnFilter("nearest", 0.5, fn=box_filter),
+    "box": _FnFilter("box", 0.5, fn=box_filter),
+    "bicubic": _FnFilter("bicubic", 2.0, fn=keys_cubic_filter),
+    "cubic": _FnFilter("cubic", 2.0, fn=keys_cubic_filter),
+    "lanczos3": _FnFilter("lanczos3", 3.0, fn=lanczos3_filter),
+}
+
+
+def get_filter(name: str) -> Filter:
+    try:
+        return FILTERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown filter {name!r}; available: {sorted(FILTERS)}"
+        ) from None

@@ -1,0 +1,303 @@
+"""Per-axis resampling weight tables (the PIL ``ImagingResample`` algorithm).
+
+This is the rebuild of the reference's L1 layer,
+``HelperInterpBase::_compute_indices_weights_aa``
+(reference: step_two_dot_two/aa_interpolation_impl.h:194-283), re-expressed in
+vectorised array form instead of a scalar loop, and in three materialisations:
+
+  1. ``compute_tables`` — compact ``(xmin, size, weights[out, ntaps])`` tables,
+     numerically identical to the reference's bounds+packed-weights layout
+     (its "step two" data structure).
+  2. ``dense_matrix`` — the banded weight matrix ``W[out, in]`` whose rows are
+     the normalised windows.  A 1-D resize pass is then exactly ``y = W @ x``
+     along that axis, which is what puts this op on the TPU MXU.
+  3. ``banded_tiles`` — a tile-compacted band ``[n_tiles, k_in, tile]`` plus
+     per-tile input start offsets, the layout consumed by the Pallas kernels.
+
+Algorithm (identical to the reference / Pillow):
+
+  For output index ``i``:
+    center  = scale * (i + 0.5)                       (align_corners=False)
+    support = filter.support * max(scale, 1)          (if antialias)
+    xmin    = max(int(center - support + 0.5), 0)
+    size    = min(int(center + support + 0.5), in_size) - xmin
+    w_j     = filter((j + xmin - center + 0.5) * invscale),  j in [0, size)
+    w      /= sum(w);  w_j = 0 for j >= size
+
+Border windows are clipped and renormalised — this is the part that makes the
+band non-Toeplitz and is required for Pillow bit-parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+from .filters import Filter, get_filter
+
+__all__ = [
+    "AxisSpec",
+    "make_axis_spec",
+    "compute_tables",
+    "compute_tables_traced",
+    "dense_matrix",
+    "banded_tiles",
+    "transpose_dense_matrix",
+]
+
+
+def area_pixel_compute_scale(
+    in_size: int, out_size: int, align_corners: bool, scale_factor: float | None = None
+) -> float:
+    """Source-pixels-per-output-pixel, matching ATen's
+    ``area_pixel_compute_scale`` semantics (reference:
+    step_two_dot_two/aa_interpolation_impl.h uses it at :311, :355, :400)."""
+    if align_corners:
+        if out_size > 1:
+            return (in_size - 1) / (out_size - 1)
+        return 0.0
+    if scale_factor is not None and scale_factor > 0:
+        return 1.0 / scale_factor
+    return in_size / out_size if out_size > 0 else 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AxisSpec:
+    """Static (hashable) description of one 1-D resampling pass.
+
+    Everything a kernel needs to rebuild the weight band is derivable from
+    this spec — it is the jit cache key for shape-specialised compilation.
+    """
+
+    in_size: int
+    out_size: int
+    mode: str
+    antialias: bool = True
+    align_corners: bool = False
+    scale: float = 0.0  # source pixels per output pixel
+    support: float = 0.0  # half-width of the (possibly widened) window
+    invscale: float = 1.0  # argument scaling fed into the filter
+    ntaps: int = 0  # static max window length = ceil(support)*2 + 1
+
+    @property
+    def filter(self) -> Filter:
+        return get_filter(self.mode)
+
+
+def make_axis_spec(
+    in_size: int,
+    out_size: int,
+    mode: str = "bilinear",
+    antialias: bool = True,
+    align_corners: bool = False,
+    scale_factor: float | None = None,
+) -> AxisSpec:
+    filt = get_filter(mode)
+    scale = area_pixel_compute_scale(in_size, out_size, align_corners, scale_factor)
+    # Antialias widens the window only when downsampling (scale >= 1);
+    # reference: step_two_dot_two/aa_interpolation_impl.h:207-209, 242.
+    if antialias and scale >= 1.0:
+        support = filt.support * scale
+        invscale = 1.0 / scale
+    else:
+        support = filt.support
+        invscale = 1.0
+    ntaps = int(math.ceil(support)) * 2 + 1
+    return AxisSpec(
+        in_size=in_size,
+        out_size=out_size,
+        mode=filt.name,
+        antialias=antialias,
+        align_corners=align_corners,
+        scale=scale,
+        support=support,
+        invscale=invscale,
+        ntaps=ntaps,
+    )
+
+
+def _centers(spec: AxisSpec, xp, dtype) -> Any:
+    i = xp.arange(spec.out_size, dtype=dtype)
+    if spec.align_corners:
+        # center is defined so that (center - 0.5) is the continuous source
+        # coordinate; with align_corners the source coord of output i is
+        # scale * i.
+        return dtype(spec.scale) * i + dtype(0.5)
+    return dtype(spec.scale) * (i + dtype(0.5))
+
+
+def compute_tables(
+    spec: AxisSpec, dtype=np.float64
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side (numpy) table builder.
+
+    Returns ``(xmin[out] int32, size[out] int32, weights[out, ntaps] dtype)``.
+    Weights are computed in ``dtype`` (default float64, like Pillow which
+    evaluates filters in double) and rows sum to 1 with a zero tail.
+
+    Numerically mirrors the reference scalar loop at
+    step_two_dot_two/aa_interpolation_impl.h:251-279.
+    """
+    dtype = np.dtype(dtype).type
+    out, ntaps = spec.out_size, spec.ntaps
+    center = _centers(spec, np, dtype)  # [out]
+    support = dtype(spec.support)
+    half = dtype(0.5)
+
+    # int() in the reference truncates toward zero, but the lower bound is
+    # clamped to 0 (where trunc == floor for the surviving values) and the
+    # upper bound argument is positive, so floor is exact here.
+    xmin = np.maximum(np.floor(center - support + half), 0.0).astype(np.int64)
+    xmax = np.minimum(np.floor(center + support + half), float(spec.in_size)).astype(
+        np.int64
+    )
+    size = xmax - xmin  # actual taps per output pixel (<= ntaps)
+
+    j = np.arange(ntaps, dtype=dtype)  # [ntaps]
+    arg = (j[None, :] + xmin[:, None].astype(dtype) - center[:, None] + half) * dtype(
+        spec.invscale
+    )
+    w = spec.filter(arg, np)  # [out, ntaps]
+    valid = j[None, :] < size[:, None].astype(dtype)
+    w = np.where(valid, w, 0.0)
+    total = w.sum(axis=1, keepdims=True)
+    # Guard total == 0 exactly like the reference (:270-272) — leave the raw
+    # (all-zero) weights in place.
+    w = np.where(total != 0.0, w / np.where(total == 0.0, 1.0, total), w)
+    return xmin.astype(np.int32), size.astype(np.int32), w.astype(dtype)
+
+
+def compute_tables_traced(spec: AxisSpec, xp, dtype) -> tuple[Any, Any, Any]:
+    """Traceable (jax.numpy / in-kernel) table builder.
+
+    Identical math to :func:`compute_tables` but expressed against the array
+    namespace ``xp`` so it can run inside ``jit`` or a Pallas kernel; this is
+    the "fuse table construction into the kernel" path (the TPU answer to the
+    reference's CUDA playground question of precompute-vs-fuse,
+    playground_cuda/playground.cu:31-62).
+    """
+    out, ntaps = spec.out_size, spec.ntaps
+    i = xp.arange(out, dtype=dtype)
+    if spec.align_corners:
+        center = dtype(spec.scale) * i + dtype(0.5)  # type: ignore[operator]
+    else:
+        center = dtype(spec.scale) * (i + dtype(0.5))  # type: ignore[operator]
+    support = spec.support
+    xmin = xp.maximum(xp.floor(center - support + 0.5), 0.0).astype("int32")
+    xmax = xp.minimum(
+        xp.floor(center + support + 0.5), float(spec.in_size)
+    ).astype("int32")
+    size = xmax - xmin
+    j = xp.arange(ntaps, dtype=dtype)
+    arg = (
+        j[None, :] + xmin[:, None].astype(dtype) - center[:, None] + 0.5
+    ) * spec.invscale
+    w = spec.filter(arg, xp)
+    valid = j[None, :] < size[:, None].astype(dtype)
+    w = xp.where(valid, w, xp.zeros_like(w))
+    total = w.sum(axis=1, keepdims=True)
+    w = xp.where(total != 0.0, w / xp.where(total == 0.0, xp.ones_like(total), total), w)
+    return xmin, size, w
+
+
+def dense_matrix(spec: AxisSpec, dtype=np.float32, table_dtype=np.float64) -> np.ndarray:
+    """Full banded matrix ``W[out, in]`` with ``W[i, xmin[i]+j] = w[i, j]``.
+
+    ``y = W @ x`` along the resampled axis reproduces the reference pass
+    exactly; this is the permanent parity oracle ("resize_ref" in SURVEY §7.2).
+    """
+    xmin, size, w = compute_tables(spec, dtype=table_dtype)
+    W = np.zeros((spec.out_size, spec.in_size), dtype=table_dtype)
+    rows = np.repeat(np.arange(spec.out_size), spec.ntaps)
+    cols = (xmin[:, None] + np.arange(spec.ntaps)[None, :]).reshape(-1)
+    vals = w.reshape(-1)
+    keep = (cols >= 0) & (cols < spec.in_size)
+    W[rows[keep], np.clip(cols, 0, spec.in_size - 1)[keep]] = vals[keep]
+    return W.astype(dtype)
+
+
+def transpose_dense_matrix(spec: AxisSpec, dtype=np.float32) -> np.ndarray:
+    """``W.T`` — the exact adjoint used by the custom VJP (replaces the
+    reference's inconsistent non-AA backward, aa_interpolation_backward_impl.h)."""
+    return dense_matrix(spec, dtype=dtype).T.copy()
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class BandedTiles:
+    """Tile-compacted band for the Pallas kernels.
+
+    For each tile of ``tile`` consecutive output pixels, ``starts[t]`` is the
+    first input pixel the tile touches and ``band[t, k, u]`` is the weight of
+    input pixel ``starts[t] + k`` for output pixel ``t*tile + u``.  ``k_in``
+    (the DMA window) is static across tiles: max window extent rounded up to a
+    sublane multiple, so every tile is one static-shape ``[k_in, tile]`` MXU
+    matmul against a ``[rows, k_in]`` input slab.
+    """
+
+    starts: np.ndarray  # [n_tiles] int32
+    band: np.ndarray  # [n_tiles, k_in, tile] float
+    tile: int
+    k_in: int
+    n_tiles: int
+    out_padded: int
+
+
+def banded_tiles(
+    spec: AxisSpec,
+    tile: int = 128,
+    dtype=np.float32,
+    k_align: int = 8,
+    table_dtype=np.float64,
+) -> BandedTiles:
+    """Build the per-tile compact band.
+
+    The per-tile input window is ``[xmin[t0], xmin[t1-1] + ntaps)`` (SURVEY §7
+    "variable band position"); windows are clamped so ``start + k_in`` never
+    exceeds ``in_size`` — weights are placed relative to the clamped start, so
+    clamping is exact, not approximate.
+    """
+    xmin, size, w = compute_tables(spec, dtype=table_dtype)
+    out = spec.out_size
+    n_tiles = -(-out // tile)
+    out_padded = n_tiles * tile
+
+    # Static window size: the widest span any tile needs.
+    spans = []
+    for t in range(n_tiles):
+        lo = int(xmin[t * tile])
+        hi_idx = min((t + 1) * tile, out) - 1
+        hi = int(xmin[hi_idx]) + spec.ntaps
+        spans.append(hi - lo)
+    k_in = _round_up(max(max(spans), 1), k_align)
+    k_in = min(_round_up(k_in, k_align), _round_up(spec.in_size, k_align))
+
+    starts = np.zeros((n_tiles,), dtype=np.int32)
+    band = np.zeros((n_tiles, k_in, tile), dtype=table_dtype)
+    taps = np.arange(spec.ntaps)
+    for t in range(n_tiles):
+        o0 = t * tile
+        o1 = min(o0 + tile, out)
+        start = int(xmin[o0])
+        # Keep the DMA window inside the input; shift weights accordingly.
+        start = max(0, min(start, spec.in_size - k_in))
+        starts[t] = start
+        for u in range(o0, o1):
+            k = int(xmin[u]) - start + taps  # positions inside the window
+            ok = (k >= 0) & (k < k_in)
+            band[t, k[ok], u - o0] = w[u, taps[ok]]
+    return BandedTiles(
+        starts=starts,
+        band=band.astype(dtype),
+        tile=tile,
+        k_in=k_in,
+        n_tiles=n_tiles,
+        out_padded=out_padded,
+    )
