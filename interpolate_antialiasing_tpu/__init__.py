@@ -1,0 +1,47 @@
+"""interpolate_antialiasing_tpu — TPU-native antialiased image resize.
+
+A from-scratch JAX/Pallas rebuild of the capabilities of the
+``interpolate-antialiasing`` reference (PIL-parity antialiased separable
+resize): each 1-D pass is a banded weight-matrix contraction executed on the
+TPU MXU, with weight tables built by the PIL ``ImagingResample`` algorithm,
+an exact transposed-band custom VJP, and pjit batch sharding.
+
+Public surface:
+  resize, interpolate           — user-facing ops (any layout/dtype)
+  linear_forward, cubic_forward, nearest_forward, linear_backward, ...
+                                — 1:1 shims for the reference's pybind API
+  ops.weights                   — weight-table builders (PIL algorithm)
+  parallel                      — mesh sharding helpers
+  models                        — preprocessing pipelines built on resize
+"""
+
+from .ops.resize import resize, interpolate, resize_plane
+from .ops.api import (
+    linear_forward,
+    nearest_forward,
+    cubic_forward,
+    linear_backward,
+    nearest_backward,
+    cubic_backward,
+)
+from .ops.weights import make_axis_spec, compute_tables, dense_matrix
+from .config import ResizeOptions
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "resize",
+    "interpolate",
+    "resize_plane",
+    "linear_forward",
+    "nearest_forward",
+    "cubic_forward",
+    "linear_backward",
+    "nearest_backward",
+    "cubic_backward",
+    "make_axis_spec",
+    "compute_tables",
+    "dense_matrix",
+    "ResizeOptions",
+    "__version__",
+]

@@ -1,0 +1,37 @@
+"""Library configuration and debug flags.
+
+Replaces the reference's preprocessor feature flags (USE_SEPARABLE_KERNEL,
+USE_BOUNDS_METHOD, VERBOSE, ... — SURVEY §5 "Config/flag system") with a small
+dataclass + environment overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+__all__ = ["ResizeOptions", "debug_enabled", "default_backend"]
+
+
+def debug_enabled() -> bool:
+    """IA_TPU_DEBUG=1 prints which kernel variant fired and table stats —
+    the rebuild of the reference's VERBOSE/TI_SHOW_STRIDES tracing."""
+    return os.environ.get("IA_TPU_DEBUG", "0") not in ("0", "", "false")
+
+
+def default_backend() -> str:
+    """Override backend selection globally (auto|xla|pallas)."""
+    return os.environ.get("IA_TPU_BACKEND", "auto")
+
+
+@dataclasses.dataclass(frozen=True)
+class ResizeOptions:
+    """Static knobs for one resize call (part of the jit cache key)."""
+
+    method: str = "bilinear"
+    antialias: bool = True
+    align_corners: bool = False
+    backend: str = "auto"  # auto | xla | pallas | dense | gather | banded
+    # Tile sizes for the Pallas kernels; 0 = pick automatically.
+    tile_out: int = 0
+    tile_rows: int = 0

@@ -1,0 +1,267 @@
+"""Public resize API with a correct custom VJP.
+
+This is the rebuild of the reference's L3 op layer
+(``ti_upsample_{bilinear2d,bicubic2d,nearest2d}_cpu``,
+step_two_dot_two/aa_interpolation_impl.h:688-807) plus the autograd bridge
+(test.py:102-157), with one deliberate divergence documented in SURVEY §2.3:
+the reference pairs its antialiased forward with PyTorch's *non*-antialiased
+2-tap backward (aa_interpolation_backward_impl.h:29-167), which is not the
+adjoint of its forward.  Here the backward is the exact adjoint — the
+transposed banded contraction — so ``jax.grad`` / ``check_grads`` pass by
+construction.
+
+Layout, rank and dtype handling (NCHW & NHWC, 2-D/3-D/4-D(+) arrays, uint8 /
+float32 / float64 / bfloat16) mirrors the surface the reference exposes via
+test.py:24-99 (channels-first) and its strided channels-last support.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import debug_enabled, default_backend
+from .weights import AxisSpec, dense_matrix, make_axis_spec
+from .resize_xla import (
+    _PRECISION,
+    resize_axis_banded,
+    resize_axis_dense,
+    resize_axis_gather,
+)
+
+__all__ = ["resize", "resize_plane", "resize_plane_vjp", "interpolate"]
+
+
+# ---------------------------------------------------------------------------
+# Backend dispatch for one 1-D pass
+# ---------------------------------------------------------------------------
+
+
+def _pick_method(spec: AxisSpec, backend: str, on_tpu: bool) -> str:
+    if backend in ("dense", "gather", "banded", "pallas"):
+        return backend
+    if backend == "xla" or not on_tpu:
+        # Dense is exact and fast for small tables; compact gather otherwise.
+        return "dense" if spec.in_size * spec.out_size <= (1 << 22) else "gather"
+    # auto on TPU
+    if spec.in_size >= 512 and spec.out_size >= 128:
+        return "pallas"
+    return "dense" if spec.in_size * spec.out_size <= (1 << 22) else "gather"
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _apply_axis(x: jax.Array, spec: AxisSpec, axis: int, backend: str) -> jax.Array:
+    on_tpu = _on_tpu()
+    method = _pick_method(spec, backend, on_tpu)
+    if method == "pallas":
+        from .pallas_resize import resize_axis_pallas, pallas_supported
+
+        if pallas_supported(x, spec, axis):
+            if debug_enabled():
+                print(f"[ia-tpu] axis={axis} {spec.in_size}->{spec.out_size} pallas")
+            return resize_axis_pallas(x, spec, axis)
+        method = "dense" if spec.in_size * spec.out_size <= (1 << 22) else "gather"
+    if debug_enabled():
+        print(
+            f"[ia-tpu] axis={axis} {spec.in_size}->{spec.out_size} {method} "
+            f"ntaps={spec.ntaps} scale={spec.scale:.4f}"
+        )
+    fn = {
+        "dense": resize_axis_dense,
+        "gather": resize_axis_gather,
+        "banded": resize_axis_banded,
+    }[method]
+    return fn(x, spec, axis)
+
+
+# ---------------------------------------------------------------------------
+# Separable 2-D plane resize with custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _resize_plane_impl(
+    x: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec, h_axis: int, w_axis: int, backend: str
+) -> jax.Array:
+    # Same pass order as the reference's separable driver: innermost (W) dim
+    # first, then H (step_two_dot_two/aa_interpolation_impl.h:655-679).
+    y = _apply_axis(x, spec_w, w_axis, backend)
+    y = _apply_axis(y, spec_h, h_axis, backend)
+    return y
+
+
+def _transpose_axis(g: jax.Array, spec: AxisSpec, axis: int) -> jax.Array:
+    """Apply ``W.T`` along ``axis`` — the exact adjoint of ``_apply_axis``."""
+    cdtype = g.dtype
+    tdt = np.float64 if cdtype == jnp.float64 else np.float32
+    W = jnp.asarray(dense_matrix(spec, dtype=tdt), dtype=cdtype)  # [out, in]
+    gm = jnp.moveaxis(g, axis, -1)  # [..., out]
+    y = jnp.einsum(
+        "...o,oi->...i", gm, W, preferred_element_type=cdtype, precision=_PRECISION
+    )
+    return jnp.moveaxis(y, -1, axis)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def resize_plane_vjp(x, spec_h, spec_w, h_axis, w_axis, backend):
+    return _resize_plane_impl(x, spec_h, spec_w, h_axis, w_axis, backend)
+
+
+def _fwd(x, spec_h, spec_w, h_axis, w_axis, backend):
+    return _resize_plane_impl(x, spec_h, spec_w, h_axis, w_axis, backend), None
+
+
+def _bwd(spec_h, spec_w, h_axis, w_axis, backend, _res, g):
+    # Adjoint in reverse pass order: H first, then W.
+    gh = _transpose_axis(g, spec_h, h_axis)
+    gx = _transpose_axis(gh, spec_w, w_axis)
+    return (gx,)
+
+
+resize_plane_vjp.defvjp(_fwd, _bwd)
+
+
+def resize_plane(
+    x: jax.Array,
+    out_hw: tuple[int, int],
+    h_axis: int,
+    w_axis: int,
+    mode: str = "bilinear",
+    antialias: bool = True,
+    align_corners: bool = False,
+    backend: str | None = None,
+    scale_factors: tuple[float, float] | None = None,
+) -> jax.Array:
+    """Differentiable separable resize of the (h_axis, w_axis) plane.
+
+    Input must already be a floating dtype; use :func:`resize` for the full
+    dtype/layout surface.
+    """
+    backend = backend or default_backend()
+    sfh, sfw = scale_factors if scale_factors is not None else (None, None)
+    spec_w = make_axis_spec(
+        x.shape[w_axis], out_hw[1], mode, antialias, align_corners, sfw
+    )
+    spec_h = make_axis_spec(
+        x.shape[h_axis], out_hw[0], mode, antialias, align_corners, sfh
+    )
+    return resize_plane_vjp(x, spec_h, spec_w, h_axis, w_axis, backend)
+
+
+# ---------------------------------------------------------------------------
+# Full user-facing entry point
+# ---------------------------------------------------------------------------
+
+_FORMATS = {
+    "NCHW": (-2, -1),
+    "NHWC": (-3, -2),
+    "CHW": (-2, -1),
+    "HWC": (-3, -2),
+    "HW": (-2, -1),
+    "channels_first": (-2, -1),
+    "channels_last": (-3, -2),
+}
+
+
+def _axes_for(x: jax.Array, data_format: str | None) -> tuple[int, int]:
+    if data_format is None:
+        data_format = "HW" if x.ndim == 2 else "NCHW"
+    if data_format not in _FORMATS:
+        raise ValueError(f"unknown data_format {data_format!r}")
+    if x.ndim == 2:
+        return x.ndim - 2, x.ndim - 1
+    ha, wa = _FORMATS[data_format]
+    return x.ndim + ha, x.ndim + wa
+
+
+def resize(
+    x: jax.Array,
+    size: Sequence[int],
+    method: str = "bilinear",
+    antialias: bool = True,
+    align_corners: bool = False,
+    data_format: str | None = None,
+    backend: str | None = None,
+    output_dtype=None,
+    scale_factors: tuple[float, float] | None = None,
+) -> jax.Array:
+    """Antialiased (or classic) separable image resize.
+
+    * ``x``: 2-D ``[H, W]``, 3-D ``[C, H, W]`` / ``[H, W, C]``, or batched
+      4-D+ array; uint8, float32, float64 or bfloat16.
+    * ``size``: output ``(height, width)``.
+    * ``method``: bilinear | bicubic | nearest(≡ PIL box when antialias) |
+      box | lanczos3.
+    * uint8 inputs are resampled in float32 and rounded back PIL-style
+      (``floor(v + 0.5)`` clamped to [0, 255]); the reference instead
+      truncates via ``.byte()`` after a Python-side clamp (test.py:71-75) —
+      we match Pillow, the shared oracle.
+    """
+    oh, ow = int(size[0]), int(size[1])
+    h_axis, w_axis = _axes_for(x, data_format)
+    in_dtype = x.dtype
+    if in_dtype == jnp.uint8:
+        cdtype = jnp.float32
+    elif jnp.issubdtype(in_dtype, jnp.floating):
+        cdtype = in_dtype
+    else:
+        cdtype = jnp.float32
+    y = resize_plane(
+        x.astype(cdtype),
+        (oh, ow),
+        h_axis,
+        w_axis,
+        mode=method,
+        antialias=antialias,
+        align_corners=align_corners,
+        backend=backend,
+        scale_factors=scale_factors,
+    )
+    out_dtype = output_dtype if output_dtype is not None else in_dtype
+    if out_dtype == jnp.uint8:
+        y = jnp.clip(jnp.floor(y.astype(jnp.float32) + 0.5), 0.0, 255.0)
+    return y.astype(out_dtype)
+
+
+def interpolate(
+    x: jax.Array,
+    size: Sequence[int] | None = None,
+    scale_factor: float | Sequence[float] | None = None,
+    mode: str = "bilinear",
+    align_corners: bool = False,
+    antialias: bool = True,
+    data_format: str | None = None,
+    backend: str | None = None,
+) -> jax.Array:
+    """torch.nn.functional.interpolate-shaped shim over :func:`resize`."""
+    h_axis, w_axis = _axes_for(x, data_format)
+    sf = None
+    if size is None:
+        if scale_factor is None:
+            raise ValueError("one of size / scale_factor is required")
+        if isinstance(scale_factor, (int, float)):
+            scale_factor = (float(scale_factor), float(scale_factor))
+        sf = (float(scale_factor[0]), float(scale_factor[1]))
+        size = (
+            int(x.shape[h_axis] * sf[0]),
+            int(x.shape[w_axis] * sf[1]),
+        )
+    return resize(
+        x,
+        size,
+        method=mode,
+        antialias=antialias,
+        align_corners=align_corners,
+        data_format=data_format,
+        backend=backend,
+        scale_factors=sf,
+    )

@@ -254,30 +254,37 @@ def banded_tiles(
     spec: AxisSpec,
     tile: int = 128,
     dtype=np.float32,
-    k_align: int = 8,
+    align: int = 8,
     table_dtype=np.float64,
 ) -> BandedTiles:
     """Build the per-tile compact band.
 
     The per-tile input window is ``[xmin[t0], xmin[t1-1] + ntaps)`` (SURVEY §7
-    "variable band position"); windows are clamped so ``start + k_in`` never
-    exceeds ``in_size`` — weights are placed relative to the clamped start, so
-    clamping is exact, not approximate.
+    "variable band position").  Both the window start and the static window
+    size ``k_in`` are multiples of ``align`` — Mosaic requires dynamic VMEM
+    slice offsets to be provably aligned (128 for lane-dim windows, 8 for
+    sublane-dim windows), and the caller pads the input length to
+    ``round_up(in_size, align)`` so every window stays in bounds.  Weights
+    are placed relative to the aligned start, so alignment is exact, not
+    approximate.
     """
     xmin, size, w = compute_tables(spec, dtype=table_dtype)
     out = spec.out_size
     n_tiles = -(-out // tile)
     out_padded = n_tiles * tile
+    in_cap = _round_up(spec.in_size, align)
 
-    # Static window size: the widest span any tile needs.
+    # Aligned per-tile window starts, then the widest span any tile needs.
+    raw_starts = []
     spans = []
     for t in range(n_tiles):
-        lo = int(xmin[t * tile])
+        lo = (max(int(xmin[t * tile]), 0) // align) * align
         hi_idx = min((t + 1) * tile, out) - 1
         hi = int(xmin[hi_idx]) + spec.ntaps
+        raw_starts.append(lo)
         spans.append(hi - lo)
-    k_in = _round_up(max(max(spans), 1), k_align)
-    k_in = min(_round_up(k_in, k_align), _round_up(spec.in_size, k_align))
+    k_in = _round_up(max(max(spans), 1), align)
+    k_in = min(k_in, in_cap)
 
     starts = np.zeros((n_tiles,), dtype=np.int32)
     band = np.zeros((n_tiles, k_in, tile), dtype=table_dtype)
@@ -285,9 +292,8 @@ def banded_tiles(
     for t in range(n_tiles):
         o0 = t * tile
         o1 = min(o0 + tile, out)
-        start = int(xmin[o0])
-        # Keep the DMA window inside the input; shift weights accordingly.
-        start = max(0, min(start, spec.in_size - k_in))
+        # Keep the aligned window inside the (padded) input.
+        start = max(0, min(raw_starts[t], in_cap - k_in))
         starts[t] = start
         for u in range(o0, o1):
             k = int(xmin[u]) - start + taps  # positions inside the window

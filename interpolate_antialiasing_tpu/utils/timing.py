@@ -1,0 +1,88 @@
+"""Benchmark timing harness (rebuild of the reference's
+torch.utils.benchmark blocked_autorange usage, test.py:163-238).
+
+Two measurement strategies:
+
+  * ``time_jit_loop`` — wraps the candidate in an on-device ``fori_loop``
+    with a value dependency between iterations, returning a scalar whose
+    host transfer is the synchronisation point.  This is the trustworthy
+    number in remote-execution environments (e.g. tunnelled TPUs) where
+    ``block_until_ready`` can return before the device finishes; it also
+    amortises dispatch overhead like blocked_autorange does.
+  * ``time_calls`` — classic per-call wall-clock with a final forced host
+    read; includes dispatch overhead (closer to "per-call latency").
+
+The loop dependency must consume the *whole* output (``y.sum()``), scaled
+by a tiny non-zero constant — scaling by 0.0 or consuming one element lets
+XLA hoist or narrow the computation out of the loop.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["time_jit_loop", "time_calls", "BenchResult"]
+
+
+class BenchResult(dict):
+    @property
+    def seconds(self) -> float:
+        return self["seconds"]
+
+    def mpix_per_s(self, npixels: int) -> float:
+        return npixels / self.seconds / 1e6
+
+
+def time_jit_loop(
+    fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    iters: int = 20,
+    repeats: int = 3,
+) -> BenchResult:
+    """Median seconds per call of ``fn`` measured inside one jit."""
+
+    @jax.jit
+    def g(x):
+        def body(i, carry):
+            xc, acc = carry
+            y = fn(xc)
+            s = jnp.sum(y.astype(jnp.float32)) * jnp.float32(1e-30)
+            return (xc + s, acc + s)
+
+        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))[1]
+
+    float(g(x))  # compile + warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(g(x))  # host read == sync
+        times.append((time.perf_counter() - t0) / iters)
+    return BenchResult(seconds=float(np.median(times)), iters=iters, repeats=repeats)
+
+
+def time_calls(
+    fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    iters: int = 20,
+    repeats: int = 3,
+) -> BenchResult:
+    """Per-call latency including dispatch: enqueue ``iters`` dependent calls,
+    sync once via host read."""
+    jfn = jax.jit(fn)
+    y = jfn(x)
+    float(jnp.sum(y.astype(jnp.float32)) * 1e-30)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for _ in range(iters):
+            y = jfn(x)
+            acc = acc + jnp.sum(y.astype(jnp.float32)) * jnp.float32(1e-30)
+        float(acc)
+        times.append((time.perf_counter() - t0) / iters)
+    return BenchResult(seconds=float(np.median(times)), iters=iters, repeats=repeats)
