@@ -92,9 +92,14 @@ def resize_axis_banded(
     if x.shape[axis] != spec.in_size:
         raise ValueError(f"axis {axis} has size {x.shape[axis]} != {spec.in_size}")
     cdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    bt = banded_tiles(spec, tile=tile, dtype=_table_dtype_for(cdtype))
+    align = 8
+    bt = banded_tiles(spec, tile=tile, dtype=_table_dtype_for(cdtype), align=align)
     xm = jnp.moveaxis(x.astype(cdtype), axis, -1)  # [..., in]
-    pad_in = max(0, bt.k_in - spec.in_size)
+    # Window starts may reach round_up(in, align) - k_in, so pad to the
+    # aligned input length (dynamic_slice would otherwise clamp and read a
+    # shifted window).
+    in_cap = -(-spec.in_size // align) * align
+    pad_in = max(in_cap, bt.k_in) - spec.in_size
     if pad_in:
         xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(0, pad_in)])
     band = jnp.asarray(bt.band, dtype=cdtype)  # [n_tiles, k_in, tile]

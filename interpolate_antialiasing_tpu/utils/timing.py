@@ -52,7 +52,12 @@ def time_jit_loop(
             xc, acc = carry
             y = fn(xc)
             s = jnp.sum(y.astype(jnp.float32)) * jnp.float32(1e-30)
-            return (xc + s, acc + s)
+            # One-element in-place update keeps the inter-iteration value
+            # dependency (prevents hoisting) without re-writing the whole
+            # input each iteration (fori_loop carries alias buffers, so the
+            # .at update is in-place, ~free).
+            xc = xc.at[(0,) * xc.ndim].add(s.astype(xc.dtype))
+            return (xc, acc + s)
 
         return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))[1]
 

@@ -1,0 +1,78 @@
+"""Gradient tests (rebuild of reference test.py:387-401 gradcheck).
+
+The reference runs torch gradcheck against an inconsistent non-AA backward
+(SURVEY §2.3); here the custom VJP is the exact adjoint, so finite-difference
+checks pass for every mode, both directions, and both spatial axes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.test_util import check_grads
+
+import interpolate_antialiasing_tpu as ia
+
+MODES = ["bilinear", "bicubic", "box"]
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("ohw", [(11, 13), (29, 31), (13, 29)])
+def test_check_grads_f64(mode, ohw):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 2, 19, 23)))  # float64 under x64
+    f = lambda t: ia.resize_plane(t, ohw, 2, 3, mode=mode)
+    check_grads(f, (x,), order=1, modes=["rev"], atol=1e-6, rtol=1e-6)
+
+
+def test_vjp_is_transpose():
+    """<W x, y> == <x, W^T y> to float64 precision."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 1, 17, 19)))
+    y = jnp.asarray(rng.random((1, 1, 9, 11)))
+    f = lambda t: ia.resize_plane(t, (9, 11), 2, 3, mode="bicubic")
+    out, vjp = jax.vjp(f, x)
+    (gx,) = vjp(y)
+    lhs = float(jnp.vdot(out, y))
+    rhs = float(jnp.vdot(x, gx))
+    assert abs(lhs - rhs) < 1e-10 * max(1.0, abs(lhs))
+
+
+def test_backward_shims_match_autodiff():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((2, 3, 19, 23), dtype=np.float64))
+    g = jnp.asarray(rng.random((2, 3, 9, 11), dtype=np.float64))
+    for mode, shim in [
+        ("bilinear", ia.linear_backward),
+        ("nearest", ia.nearest_backward),
+        ("bicubic", ia.cubic_backward),
+    ]:
+        f = lambda t: ia.resize_plane(t, (9, 11), 2, 3, mode=mode)
+        gx = jax.vjp(f, x)[1](g)[0]
+        gx2 = shim(g, (9, 11), x.shape)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx2), atol=1e-12)
+
+
+def test_grad_through_uint8_free_path():
+    """resize() on float input is differentiable end to end."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 3, 16, 16), dtype=np.float64))
+    loss = lambda t: jnp.sum(ia.resize(t, (8, 8)) ** 2)
+    g = jax.grad(loss)(x)
+    assert g.shape == x.shape
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_jit_grad_composition():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((1, 2, 20, 24), dtype=np.float64))
+    f = jax.jit(jax.grad(lambda t: jnp.sum(ia.resize_plane(t, (10, 12), 2, 3))))
+    g = f(x)
+    # grad of sum == column sums of W_h ⊗ W_w: each input pixel's total
+    # contribution; verify against explicit dense computation.
+    from interpolate_antialiasing_tpu.ops.weights import dense_matrix, make_axis_spec
+
+    Wh = dense_matrix(make_axis_spec(20, 10, "bilinear"), dtype=np.float64)
+    Ww = dense_matrix(make_axis_spec(24, 12, "bilinear"), dtype=np.float64)
+    expected = np.outer(Wh.sum(axis=0), Ww.sum(axis=0))
+    np.testing.assert_allclose(np.asarray(g[0, 0]), expected, atol=1e-10)

@@ -1,0 +1,140 @@
+"""Weight-table unit tests: properties + golden values.
+
+Mirrors what the reference only validated end-to-end (the table builder at
+step_two_dot_two/aa_interpolation_impl.h:194-283 had no direct tests).
+"""
+
+import numpy as np
+import pytest
+
+from interpolate_antialiasing_tpu.ops.weights import (
+    banded_tiles,
+    compute_tables,
+    compute_tables_traced,
+    dense_matrix,
+    make_axis_spec,
+)
+
+MODES = ["bilinear", "bicubic", "box", "lanczos3"]
+SIZES = [(906, 320), (438, 196), (10, 4), (4, 10), (7, 7), (1, 3), (3, 1), (906, 1200)]
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("insz,outsz", SIZES)
+def test_rows_sum_to_one(mode, insz, outsz):
+    spec = make_axis_spec(insz, outsz, mode)
+    xmin, size, w = compute_tables(spec)
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-12)
+    # zero tail beyond `size`
+    for i in range(spec.out_size):
+        assert np.all(w[i, size[i] :] == 0.0)
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("insz,outsz", SIZES)
+def test_bounds_are_valid(mode, insz, outsz):
+    spec = make_axis_spec(insz, outsz, mode)
+    xmin, size, w = compute_tables(spec)
+    assert np.all(xmin >= 0)
+    assert np.all(size >= 0)
+    assert np.all(xmin + size <= insz)
+    assert np.all(size <= spec.ntaps)
+    # xmin monotonically non-decreasing (band structure)
+    assert np.all(np.diff(xmin) >= 0)
+
+
+def test_ntaps_formula():
+    # AA downsample: support widened by scale; reference
+    # step_two_dot_two/aa_interpolation_impl.h:207-210.
+    spec = make_axis_spec(906, 320, "bilinear")
+    assert spec.scale == pytest.approx(906 / 320)
+    assert spec.ntaps == int(np.ceil(1.0 * spec.scale)) * 2 + 1
+    # upsample: no widening
+    spec_up = make_axis_spec(320, 906, "bilinear")
+    assert spec_up.support == 1.0 and spec_up.invscale == 1.0
+    assert spec_up.ntaps == 3
+    spec_cu = make_axis_spec(906, 320, "bicubic")
+    assert spec_cu.support == pytest.approx(2.0 * 906 / 320)
+
+
+def test_golden_bilinear_identity():
+    # out == in with bilinear: W is the identity.
+    spec = make_axis_spec(8, 8, "bilinear")
+    W = dense_matrix(spec, dtype=np.float64)
+    np.testing.assert_allclose(W, np.eye(8), atol=1e-12)
+
+
+def test_golden_bilinear_2x_downsample():
+    # 8 -> 4, scale 2, support 2, taps ceil(2)*2+1 = 5.
+    # center of output 1 = 2*(1.5) = 3.0; window [1,5): weights from
+    # triangle((j+1-3+0.5)*0.5) = [.25,.75,.75,.25]/2  (interior, exact)
+    spec = make_axis_spec(8, 4, "bilinear")
+    xmin, size, w = compute_tables(spec)
+    assert xmin[1] == 1 and size[1] == 4
+    np.testing.assert_allclose(w[1, :4], [0.125, 0.375, 0.375, 0.125], atol=1e-12)
+
+
+def test_golden_edge_renormalisation():
+    # Border windows are clipped and renormalised; first output pixel of
+    # an 8->4 bilinear downsample has window [0,3) (3 taps).
+    spec = make_axis_spec(8, 4, "bilinear")
+    xmin, size, w = compute_tables(spec)
+    assert xmin[0] == 0 and size[0] == 3
+    raw = np.array([0.75, 0.75, 0.25])  # triangle((j-1+0.5)*0.5)
+    np.testing.assert_allclose(w[0, :3], raw / raw.sum(), atol=1e-12)
+
+
+def test_box_filter_partition():
+    # Box/AA with integral scale: every input pixel contributes to exactly
+    # one output pixel with equal weight.
+    spec = make_axis_spec(12, 4, "box")
+    W = dense_matrix(spec, dtype=np.float64)
+    np.testing.assert_allclose(W.sum(axis=0), 1.0 / 3.0 * np.ones(12), atol=1e-12)
+    np.testing.assert_allclose(W[W > 0], 1.0 / 3.0)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_traced_matches_host(mode):
+    import jax.numpy as jnp
+
+    spec = make_axis_spec(97, 31, mode)
+    xm_h, sz_h, w_h = compute_tables(spec, dtype=np.float64)
+    xm_t, sz_t, w_t = compute_tables_traced(spec, jnp, jnp.float64)
+    np.testing.assert_array_equal(np.asarray(xm_t), xm_h)
+    np.testing.assert_array_equal(np.asarray(sz_t), sz_h)
+    np.testing.assert_allclose(np.asarray(w_t), w_h, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("insz,outsz", [(906, 320), (64, 196), (500, 129)])
+@pytest.mark.parametrize("align", [8, 128])
+def test_banded_tiles_reconstruct_dense(mode, insz, outsz, align):
+    """The tile-compacted band, scattered back, equals the dense matrix."""
+    spec = make_axis_spec(insz, outsz, mode)
+    bt = banded_tiles(spec, tile=128, dtype=np.float64, align=align)
+    W = np.zeros((bt.out_padded, -(-insz // align) * align))
+    for t in range(bt.n_tiles):
+        s = int(bt.starts[t])
+        assert s % align == 0
+        assert s + bt.k_in <= W.shape[1]
+        W[t * 128 : (t + 1) * 128, s : s + bt.k_in] += bt.band[t].T
+    ref = dense_matrix(spec, dtype=np.float64)
+    np.testing.assert_allclose(W[: spec.out_size, :insz], ref, atol=1e-12)
+    # nothing scattered into the padding columns
+    assert np.all(W[:, insz:] == 0)
+
+
+def test_align_corners_scale():
+    spec = make_axis_spec(10, 4, "bilinear", align_corners=True, antialias=False)
+    assert spec.scale == pytest.approx(9 / 3)
+    W = dense_matrix(spec, dtype=np.float64)
+    # align_corners=True maps output 0 -> input 0 and output 3 -> input 9
+    np.testing.assert_allclose(W[0, 0], 1.0, atol=1e-12)
+    np.testing.assert_allclose(W[3, 9], 1.0, atol=1e-12)
+
+
+def test_degenerate_sizes():
+    for insz, outsz in [(1, 1), (1, 5), (5, 1)]:
+        spec = make_axis_spec(insz, outsz, "bilinear")
+        W = dense_matrix(spec, dtype=np.float64)
+        np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-12)
