@@ -1,0 +1,15 @@
+from .preprocess import ImageNetEvalPipeline, VideoDownscaler, imagenet_eval_preprocess
+from .pyramid import aa_pyramid
+from .train import Trainer, init_params, forward, loss_fn, make_train_step
+
+__all__ = [
+    "ImageNetEvalPipeline",
+    "VideoDownscaler",
+    "imagenet_eval_preprocess",
+    "aa_pyramid",
+    "Trainer",
+    "init_params",
+    "forward",
+    "loss_fn",
+    "make_train_step",
+]

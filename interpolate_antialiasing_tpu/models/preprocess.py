@@ -1,0 +1,76 @@
+"""Image preprocessing pipelines built on the AA resize op.
+
+These cover the BASELINE.json workload configs:
+  * uint8 batched ImageNet-eval preprocessing (batch-N arbitrary -> 224x224
+    bilinear AA, fused dtype cast + normalisation)
+  * bf16 video downscale (3840x2160 -> 1920x1080 sustained throughput)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize, resize_plane
+
+__all__ = ["ImageNetEvalPipeline", "VideoDownscaler", "imagenet_eval_preprocess"]
+
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageNetEvalPipeline:
+    """uint8 NCHW batch -> normalised float NCHW at ``size``.
+
+    Mirrors torchvision eval preprocessing (Resize with antialias=True —
+    the capability the reference prototype became) with the cast, scale,
+    and normalisation fused into one jitted graph.
+    """
+
+    size: tuple[int, int] = (224, 224)
+    method: str = "bilinear"
+    antialias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    mean: Sequence[float] = _IMAGENET_MEAN
+    std: Sequence[float] = _IMAGENET_STD
+
+    def __call__(self, batch_u8: jax.Array) -> jax.Array:
+        x = batch_u8.astype(jnp.float32)
+        y = resize_plane(
+            x, self.size, h_axis=-2, w_axis=-1, mode=self.method,
+            antialias=self.antialias,
+        )
+        y = y * jnp.float32(1.0 / 255.0)
+        mean = jnp.asarray(self.mean, jnp.float32).reshape(1, -1, 1, 1)
+        std = jnp.asarray(self.std, jnp.float32).reshape(1, -1, 1, 1)
+        return ((y - mean) / std).astype(self.dtype)
+
+
+def imagenet_eval_preprocess(batch_u8: jax.Array, size=(224, 224)) -> jax.Array:
+    return ImageNetEvalPipeline(size=size)(batch_u8)
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoDownscaler:
+    """bf16 frame downscaler: [N, C, H, W] -> [N, C, oh, ow].
+
+    Uses float32 weight tables with bf16 inputs; contraction accumulates in
+    float32 on the MXU (preferred_element_type), then casts back to bf16.
+    """
+
+    out_hw: tuple[int, int] = (1080, 1920)
+    method: str = "bilinear"
+
+    def __call__(self, frames: jax.Array) -> jax.Array:
+        y = resize_plane(
+            frames.astype(jnp.float32),
+            self.out_hw,
+            h_axis=-2,
+            w_axis=-1,
+            mode=self.method,
+        )
+        return y.astype(jnp.bfloat16)

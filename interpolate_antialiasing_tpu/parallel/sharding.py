@@ -1,0 +1,66 @@
+"""Mesh/batch sharding for resize workloads (SURVEY §2.5).
+
+The reference is single-process CPU with OpenMP-only parallelism; the
+TPU-native scaling story is:
+
+  * **data parallel** — resize is elementwise per image, so batch sharding
+    over the mesh is exact and collective-free (jit + NamedSharding inserts
+    nothing but the initial scatter);
+  * **spatial parallel** — for images too large for one chip, split H
+    across devices with halo exchange (see halo.py), the analogue of
+    sequence parallelism for this workload.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "data_parallel_resize"]
+
+
+def make_mesh(
+    shape: Sequence[int] | None = None, axis_names: Sequence[str] = ("data",)
+) -> Mesh:
+    """Create a device mesh; default: all devices on one 'data' axis."""
+    devs = jax.devices()
+    if shape is None:
+        shape = (len(devs),)
+    arr = np.asarray(devs[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def shard_batch(x: jax.Array, mesh: Mesh, axis: str = "data") -> jax.Array:
+    """Place ``x`` with its leading (batch) dim sharded over ``axis``."""
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def data_parallel_resize(
+    x: jax.Array,
+    size,
+    mesh: Mesh | None = None,
+    axis: str = "data",
+    **kw,
+):
+    """Batch-sharded resize: jit with sharded in/out over the mesh.
+
+    Each device resizes its local shard; no cross-device communication is
+    required (XLA inserts none — asserted in tests by compiling with
+    8 virtual devices and checking output shardings).
+    """
+    from ..ops.resize import resize
+
+    mesh = mesh or make_mesh()
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    sh = NamedSharding(mesh, spec)
+    xs = jax.device_put(x, sh)
+    f = jax.jit(
+        lambda t: resize(t, size, **kw),
+        in_shardings=sh,
+        out_shardings=sh,
+    )
+    return f(xs)

@@ -1,0 +1,66 @@
+"""Model/pipeline tests, incl. the sharded training step on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from interpolate_antialiasing_tpu.models import (
+    ImageNetEvalPipeline,
+    Trainer,
+    VideoDownscaler,
+    aa_pyramid,
+    make_train_step,
+    init_params,
+)
+
+
+def test_imagenet_pipeline(rng):
+    x = jnp.asarray((rng.random((4, 3, 100, 150)) * 255).astype(np.uint8))
+    pipe = ImageNetEvalPipeline(size=(32, 32))
+    y = pipe(x)
+    assert y.shape == (4, 3, 32, 32)
+    assert y.dtype == jnp.float32
+    # normalised output roughly centered
+    assert abs(float(jnp.mean(y))) < 3.0
+
+
+def test_video_downscaler(rng):
+    x = jnp.asarray(rng.random((2, 3, 64, 96)).astype(np.float32)).astype(jnp.bfloat16)
+    y = VideoDownscaler(out_hw=(32, 48))(x)
+    assert y.shape == (2, 3, 32, 48) and y.dtype == jnp.bfloat16
+
+
+def test_pyramid(rng):
+    x = jnp.asarray(rng.random((1, 3, 64, 96)).astype(np.float32))
+    levels = aa_pyramid(x, 4)
+    assert [l.shape[-2:] for l in levels] == [(64, 96), (32, 48), (16, 24), (8, 12)]
+
+
+def test_train_step_single(rng):
+    tr = Trainer(resize_to=(16, 16))
+    imgs = jnp.asarray(rng.random((8, 3, 40, 56)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 10, size=8))
+    l0 = float(tr.step(imgs, labels))
+    for _ in range(5):
+        l = float(tr.step(imgs, labels))
+    assert l < l0  # learns on a fixed batch
+
+
+def test_train_step_sharded(rng):
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "sp"))
+    step = make_train_step(mesh, resize_to=(16, 16))
+    params = init_params(jax.random.PRNGKey(0))
+    mom = jax.tree.map(jnp.zeros_like, params)
+    imgs = jnp.asarray(rng.random((8, 3, 40, 56)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 10, size=8))
+    p1, m1, loss = step(params, mom, imgs, labels)
+    assert np.isfinite(float(loss))
+    # sharded step == unsharded step
+    step_ref = make_train_step(None, resize_to=(16, 16))
+    p2, m2, loss2 = step_ref(params, mom, imgs, labels)
+    np.testing.assert_allclose(float(loss), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
