@@ -1,0 +1,165 @@
+"""CLI driver mirroring the reference's test.py surface.
+
+Reference flags (test.py:260-294): --mode {bilinear,nearest,bicubic},
+--size W H, --bench, --profile, --backward, --cuda, --step, --flags.
+Here: --step becomes --backend (the rebuild's "which kernel variant"),
+--cuda becomes the TPU default, --flags becomes --precision/--debug.
+
+Run:  python -m interpolate_antialiasing_tpu.cli --mode bilinear --bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+# Reference's size sweep (test.py:15-21); original image is 906x438.
+SIZES = [(320, 196), (460, 220), (120, 96), (1200, 196), (120, 1200)]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("interpolate_antialiasing_tpu")
+    p.add_argument("--mode", default="bilinear",
+                   choices=["bilinear", "nearest", "bicubic", "box", "lanczos3"])
+    p.add_argument("--size", nargs=2, type=int, default=None,
+                   metavar=("W", "H"), help="output size (PIL order: W H)")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas", "dense", "gather", "banded"])
+    p.add_argument("--bench", action="store_true", help="run the benchmark table")
+    p.add_argument("--profile", action="store_true", help="emit a jax profiler trace")
+    p.add_argument("--backward", action="store_true", help="run backward + grad check")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--image", default=None, help="input PNG (default: synthetic 906x438)")
+    p.add_argument("--save", default=None, help="save resized PNG here")
+    p.add_argument("--debug", action="store_true", help="print kernel dispatch info")
+    return p
+
+
+def _load_image(path: str | None) -> np.ndarray:
+    from .utils.imageio import load_png, synthetic_image
+
+    return load_png(path) if path else synthetic_image()
+
+
+def run_accuracy(args, img) -> None:
+    """MAE/MaxAbsE vs Pillow (reference test.py:334-379)."""
+    import jax.numpy as jnp
+
+    from . import resize
+    from .utils.metrics import mae, max_abs_err
+    from .utils.oracle import pil_resize
+
+    sizes = [tuple(args.size)] if args.size else SIZES
+    for w, h in sizes:
+        ref = pil_resize(img, (h, w), args.mode)
+        y = np.asarray(resize(jnp.asarray(img), (h, w), method=args.mode,
+                              backend=args.backend))
+        print(
+            f"mode={args.mode} size={w}x{h} "
+            f"MAE={mae(y, ref):.4f} MaxAbsE={max_abs_err(y, ref):.1f}"
+        )
+        if args.save:
+            from .utils.imageio import save_png
+
+            save_png(args.save, y)
+
+
+def run_bench(args, img) -> None:
+    """Benchmark table: PIL vs XLA dense vs pallas (reference test.py:163-238)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from .ops.resize import resize_plane
+    from .utils.timing import time_jit_loop
+    from .utils.oracle import pil_resize
+
+    sizes = [tuple(args.size)] if args.size else SIZES
+    b = args.batch
+    x_u8 = np.stack([img] * b)
+    xf = jnp.asarray(x_u8, dtype=jnp.float32)
+    for w, h in sizes:
+        # PIL single-thread reference
+        t0 = time.perf_counter()
+        n = max(1, 20 // b)
+        for _ in range(n):
+            for i in range(b):
+                pil_resize(img, (h, w), args.mode)
+        t_pil = (time.perf_counter() - t0) / (n * b)
+        row = {"size": f"{w}x{h}", "pil_ms": round(t_pil * 1e3, 3)}
+        for backend in ["dense", "gather", "pallas"]:
+            try:
+                r = time_jit_loop(
+                    lambda t: resize_plane(t, (h, w), 2, 3, mode=args.mode,
+                                           backend=backend),
+                    xf, iters=10,
+                )
+                row[f"{backend}_ms"] = round(r.seconds * 1e3, 3)
+                row[f"{backend}_Mpix_s"] = round(b * h * w / r.seconds / 1e6, 1)
+            except Exception as e:  # backend unavailable on this platform
+                row[f"{backend}_ms"] = f"n/a ({type(e).__name__})"
+        print(json.dumps(row))
+
+
+def run_profile(args, img) -> None:
+    """jax.profiler trace (replaces torch.profiler + perf/FlameGraph rigs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.resize import resize_plane
+
+    sizes = tuple(args.size) if args.size else (320, 196)
+    w, h = sizes
+    xf = jnp.asarray(np.stack([img] * args.batch), dtype=jnp.float32)
+    f = jax.jit(lambda t: resize_plane(t, (h, w), 2, 3, mode=args.mode,
+                                       backend=args.backend))
+    f(xf).block_until_ready()  # compile outside the trace
+    trace_dir = os.environ.get("IA_TPU_TRACE_DIR", "/tmp/ia_tpu_trace")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(10):
+            y = f(xf)
+        y.block_until_ready()
+    print(f"trace written to {trace_dir} (tensorboard --logdir {trace_dir})")
+
+
+def run_backward(args, img) -> None:
+    """Backward smoke + finite-difference check (reference test.py:387-401)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.test_util import check_grads
+
+    from .ops.resize import resize_plane
+
+    w, h = tuple(args.size) if args.size else (64, 48)
+    x = jnp.asarray(img[:, :128, :160], dtype=jnp.float32)[None]
+    f = lambda t: resize_plane(t, (h, w), 2, 3, mode=args.mode)
+    y, vjp = jax.vjp(f, x)
+    (gx,) = vjp(jnp.ones_like(y))
+    print(f"backward smoke: out {tuple(y.shape)} grad {tuple(gx.shape)} "
+          f"grad-mean {float(gx.mean()):.6f}")
+    check_grads(f, (x.astype(jnp.float32),), order=1, modes=["rev"],
+                atol=5e-2, rtol=5e-2)
+    print("finite-difference check passed")
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.debug:
+        os.environ["IA_TPU_DEBUG"] = "1"
+    img = _load_image(args.image)
+    if args.bench:
+        run_bench(args, img)
+    elif args.profile:
+        run_profile(args, img)
+    elif args.backward:
+        run_backward(args, img)
+    else:
+        run_accuracy(args, img)
+
+
+if __name__ == "__main__":
+    main()
