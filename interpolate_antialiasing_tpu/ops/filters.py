@@ -83,17 +83,28 @@ def box_filter(x, xp):
     return xp.where((x > -0.5) & (x <= 0.5), one, zero)
 
 
+def _keys_cubic(x, xp, a):
+    ax = xp.abs(x)
+    inner = ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
+    outer = ((ax - 5.0) * ax + 8.0) * ax - 4.0
+    outer = outer * a
+    return xp.where(ax < 1.0, inner, xp.where(ax < 2.0, outer, xp.zeros_like(ax)))
+
+
 def keys_cubic_filter(x, xp):
     """Keys bicubic kernel with a = -0.5 (Catmull-Rom family).
 
     Pillow's ``bicubic_filter``
     (reference: step_two_dot_two/aa_interpolation_impl.h:410-424).
     """
-    a = -0.5
-    ax = xp.abs(x)
-    inner = ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
-    outer = (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a
-    return xp.where(ax < 1.0, inner, xp.where(ax < 2.0, outer, xp.zeros_like(ax)))
+    return _keys_cubic(x, xp, -0.5)
+
+
+def keys_cubic_075_filter(x, xp):
+    """Keys bicubic with a = -0.75: the classic (non-antialiased) torch/
+    OpenCV convention (ATen ``cubic_convolution1``).  Used for the
+    ``antialias=False`` bicubic path only."""
+    return _keys_cubic(x, xp, -0.75)
 
 
 def lanczos3_filter(x, xp):
@@ -113,6 +124,7 @@ FILTERS: dict[str, Filter] = {
     "box": _FnFilter("box", 0.5, fn=box_filter),
     "bicubic": _FnFilter("bicubic", 2.0, fn=keys_cubic_filter),
     "cubic": _FnFilter("cubic", 2.0, fn=keys_cubic_filter),
+    "bicubic075": _FnFilter("bicubic075", 2.0, fn=keys_cubic_075_filter),
     "lanczos3": _FnFilter("lanczos3", 3.0, fn=lanczos3_filter),
 }
 

@@ -15,22 +15,25 @@ VMEM-resident (its index_map is constant, so it is DMA'd exactly once),
 x row-blocks stream through VMEM, and the window slice is a VMEM ``pl.ds`` —
 no gathers, no dynamic shapes, MXU-shaped tiles throughout.
 
+Because the workload is HBM-bandwidth-bound, the kernels do dtype
+conversion **in VMEM**: uint8 / bfloat16 inputs are sliced raw and widened
+to float32 in-register, and uint8 outputs are rounded PIL-style
+(floor(v+0.5), clip [0,255]) before the store — input and output travel
+HBM at 1 or 2 bytes/px instead of 4.  Accumulation is always float32.
+
 Two band sources:
   * ``fused=False`` — band precomputed on host in float64 (bit-matches the
     XLA oracle path; the default).
   * ``fused=True``  — band synthesised *inside the kernel* from the closed
     form (broadcasted_iota + filter + per-column normalisation), the answer
     to the reference's CUDA question of precompute-vs-fuse
-    (playground_cuda/playground.cu:31-62): zero band HBM traffic.  Window
-    starts/xmin still come from exact host tables (int32, tiny), so float32
-    floor-boundary flips cannot move the window.
+    (playground_cuda/playground.cu:31-62): zero band HBM traffic.  Only for
+    continuous filters (see _synth_band).
 """
 
 from __future__ import annotations
 
 import functools
-import math
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -39,13 +42,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import debug_enabled
-from .weights import AxisSpec, BandedTiles, banded_tiles, compute_tables
+from .weights import AxisSpec, BandedTiles, banded_tiles
 
 __all__ = ["resize_axis_pallas", "pallas_supported"]
 
 _LANE = 128
-_SUBLANE = 8
-_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom below the ~16MB/core VMEM
+_VMEM_BUDGET = 10 * 1024 * 1024  # headroom below the ~16MB/core VMEM
 
 
 def _round_up(x: int, m: int) -> int:
@@ -56,37 +58,91 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _sublane(dtype) -> int:
+    """Minimum sublane granularity per dtype ((8,128) f32, (16,128) bf16,
+    (32,128) int8/uint8)."""
+    if dtype in (jnp.uint8, jnp.int8):
+        return 32
+    if dtype == jnp.bfloat16:
+        return 16
+    return 8
+
+
+def _widen(win):
+    """Widen a raw VMEM tile to float32 (Mosaic has no direct u8->f32)."""
+    if win.dtype == jnp.uint8:
+        return win.astype(jnp.int32).astype(jnp.float32)
+    if win.dtype == jnp.float32:
+        return win
+    return win.astype(jnp.float32)
+
+
+def _store(o_ref, idx, val_f32, out_dtype):
+    if out_dtype == jnp.uint8:
+        v = jnp.clip(jnp.floor(val_f32 + 0.5), 0.0, 255.0)
+        o_ref[idx] = v.astype(jnp.int32).astype(jnp.uint8)
+    else:
+        o_ref[idx] = val_f32.astype(out_dtype)
+
+
+def _mxu_dot(a, b, dims, precision, a_exact_bf16=False):
+    """Banded contraction with a precision/speed dial.
+
+    ``precision='split'`` decomposes the f32 operands into bf16 hi+lo parts
+    and runs 2-3 native-rate bf16 MXU passes with f32 accumulation:
+    ``a@b ~= a_hi@b_hi + a_hi@b_lo (+ a_lo@b_hi)``, dropping the lo*lo term
+    (~2^-16 relative).  When ``a`` came from uint8 pixels it is *exact* in
+    bf16 (integers 0..255), so the a_lo term vanishes and 2 passes suffice —
+    ~3x the FLOP rate of Precision.HIGHEST with ~f32-quality results
+    (abs error ~0.01 on the 0..255 scale; verified in tests).  Weights are
+    always split (their bf16 rounding alone would cost ~0.4%).
+    """
+    if precision == "split":
+        a_hi = a.astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        y = jax.lax.dot_general(a_hi, b_hi, dims, preferred_element_type=jnp.float32)
+        y = y + jax.lax.dot_general(
+            a_hi, b_lo, dims, preferred_element_type=jnp.float32
+        )
+        if not a_exact_bf16:
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            y = y + jax.lax.dot_general(
+                a_lo, b_hi, dims, preferred_element_type=jnp.float32
+            )
+        return y
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
 # ---------------------------------------------------------------------------
 # Kernel bodies
 # ---------------------------------------------------------------------------
 
 
-def _kernel_last(starts_ref, x_ref, band_ref, o_ref, *, k_in: int, precision):
-    """out[MT, TILE] = x[MT, s:s+K] @ band[j]  (contraction over last axis)."""
+def _kernel_last(
+    starts_ref, x_ref, band_ref, o_ref, *, k_in, precision, out_dtype, in_align,
+    in_exact
+):
+    """out[MT, TILE] = cast(x[MT, s:s+K]) @ band[j]."""
     j = pl.program_id(1)
-    s = pl.multiple_of(starts_ref[j], _LANE)
-    win = x_ref[:, pl.ds(s, k_in)]
-    o_ref[:, :] = jax.lax.dot_general(
-        win,
-        band_ref[j],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    s = pl.multiple_of(starts_ref[j], in_align)
+    win = _widen(x_ref[:, pl.ds(s, k_in)])
+    y = _mxu_dot(win, band_ref[j], (((1,), (0,)), ((), ())), precision, in_exact)
+    _store(o_ref, (slice(None), slice(None)), y, out_dtype)
 
 
-def _kernel_mid(starts_ref, x_ref, band_ref, o_ref, *, k_in: int, precision):
-    """out[1, TILE, WT] = band[j]^T @ x[1, s:s+K, WT]  (middle-axis pass)."""
+def _kernel_mid(
+    starts_ref, x_ref, band_ref, o_ref, *, k_in, precision, out_dtype, in_align,
+    in_exact
+):
+    """out[1, TILE, WT] = band[j]^T @ cast(x[1, s:s+K, WT])."""
     j = pl.program_id(2)
-    s = pl.multiple_of(starts_ref[j], _SUBLANE)
-    win = x_ref[0, pl.ds(s, k_in), :]
-    o_ref[0, :, :] = jax.lax.dot_general(
-        band_ref[j],
-        win,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    s = pl.multiple_of(starts_ref[j], in_align)
+    win = _widen(x_ref[0, pl.ds(s, k_in), :])
+    y = _mxu_dot(band_ref[j], win, (((0,), (0,)), ((), ())), precision)
+    _store(o_ref, (0, slice(None), slice(None)), y, out_dtype)
 
 
 def _synth_band(spec: AxisSpec, start, j, tile: int, k_in: int):
@@ -101,8 +157,7 @@ def _synth_band(spec: AxisSpec, start, j, tile: int, k_in: int):
     hazard the reference hit with static unrolling
     (step_three/aa_interpolation_impl.h:84-88 "static-5 ... INCORRECT").
     """
-    o_local = jax.lax.broadcasted_iota(jnp.int32, (k_in, tile), 1)
-    o_global = o_local + j * tile
+    o_global = jax.lax.broadcasted_iota(jnp.int32, (k_in, tile), 1) + j * tile
     k = jax.lax.broadcasted_iota(jnp.int32, (k_in, tile), 0)
     if spec.align_corners:
         center = spec.scale * o_global.astype(jnp.float32) + 0.5
@@ -114,45 +169,77 @@ def _synth_band(spec: AxisSpec, start, j, tile: int, k_in: int):
     valid = (pos >= 0.0) & (pos <= float(spec.in_size) - 1.0)
     w = jnp.where(valid, w, 0.0)
     total = jnp.sum(w, axis=0, keepdims=True)
-    w = w / jnp.where(total == 0.0, 1.0, total)
-    return w
+    return w / jnp.where(total == 0.0, 1.0, total)
 
 
 def _kernel_last_fused(
-    starts_ref, x_ref, o_ref, *, spec: AxisSpec, tile: int, k_in: int, precision
+    starts_ref, x_ref, o_ref, *, spec, tile, k_in, precision, out_dtype, in_align,
+    in_exact
 ):
     j = pl.program_id(1)
-    s = pl.multiple_of(starts_ref[j], _LANE)
+    s = pl.multiple_of(starts_ref[j], in_align)
     band = _synth_band(spec, s, j, tile, k_in)
-    win = x_ref[:, pl.ds(s, k_in)]
-    o_ref[:, :] = jax.lax.dot_general(
-        win,
-        band,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    win = _widen(x_ref[:, pl.ds(s, k_in)])
+    y = _mxu_dot(win, band, (((1,), (0,)), ((), ())), precision, in_exact)
+    _store(o_ref, (slice(None), slice(None)), y, out_dtype)
 
 
 def _kernel_mid_fused(
-    starts_ref, x_ref, o_ref, *, spec: AxisSpec, tile: int, k_in: int, precision
+    starts_ref, x_ref, o_ref, *, spec, tile, k_in, precision, out_dtype, in_align,
+    in_exact
 ):
     j = pl.program_id(2)
-    s = pl.multiple_of(starts_ref[j], _SUBLANE)
+    s = pl.multiple_of(starts_ref[j], in_align)
     band = _synth_band(spec, s, j, tile, k_in)
-    win = x_ref[0, pl.ds(s, k_in), :]
-    o_ref[0, :, :] = jax.lax.dot_general(
-        band,
-        win,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    win = _widen(x_ref[0, pl.ds(s, k_in), :])
+    y = _mxu_dot(band, win, (((0,), (0,)), ((), ())), precision)
+    _store(o_ref, (0, slice(None), slice(None)), y, out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Static-unrolled kernel bodies (few fat grid steps; per-tile window starts
+# are Python constants, so every slice is static)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_last_unrolled(
+    x_ref, band_ref, o_ref, *, starts, k_in, tile, precision, out_dtype,
+    in_exact=False, fused_spec=None
+):
+    """out[MT, OUT_PAD] = concat_t cast(x[MT, s_t:s_t+K]) @ band[t]."""
+    for t, s in enumerate(starts):
+        if fused_spec is not None:
+            band_t = _synth_band(fused_spec, s, t, tile, k_in)
+        else:
+            band_t = band_ref[t]
+        win = _widen(x_ref[:, s : s + k_in])
+        y = _mxu_dot(win, band_t, (((1,), (0,)), ((), ())), precision, in_exact)
+        _store(o_ref, (slice(None), slice(t * tile, (t + 1) * tile)), y, out_dtype)
+
+
+def _kernel_mid_unrolled(
+    x_ref, band_ref, o_ref, *, starts, k_in, tile, bt, precision, out_dtype,
+    in_exact=False, fused_spec=None
+):
+    """out[BT, OUT_PAD, WT] = per-image band^T @ cast(x[bi, s_t:s_t+K, :])."""
+    for t, s in enumerate(starts):
+        if fused_spec is not None:
+            band_t = _synth_band(fused_spec, s, t, tile, k_in)
+        else:
+            band_t = band_ref[t]
+        for bi in range(bt):
+            win = _widen(x_ref[bi, s : s + k_in, :])
+            y = _mxu_dot(band_t, win, (((0,), (0,)), ((), ())), precision)
+            _store(
+                o_ref, (bi, slice(t * tile, (t + 1) * tile), slice(None)), y, out_dtype
+            )
 
 
 # ---------------------------------------------------------------------------
 # Host-side drivers
 # ---------------------------------------------------------------------------
+
+_MAX_UNROLL_TILES = 32
 
 
 @functools.cache
@@ -160,23 +247,88 @@ def _tiles_cached(spec: AxisSpec, tile: int, align: int) -> BandedTiles:
     return banded_tiles(spec, tile=tile, dtype=np.float32, align=align)
 
 
-def _pass_last(
-    x2: jax.Array, spec: AxisSpec, fused: bool, precision
-) -> jax.Array:
-    """x2: [M, IN] float32 -> [M, OUT] float32."""
+def _pass_last(x2, spec, fused, precision, out_dtype):
+    """x2: [M, IN] (u8/bf16/f32) -> [M, OUT] out_dtype."""
     M, IN = x2.shape
-    bt = _tiles_cached(spec, _LANE, _LANE)
+    in_exact = x2.dtype == jnp.uint8
+    bt = _tiles_cached(spec, _LANE, _LANE)  # lane-dim windows: 128-aligned
     in_pad = max(_round_up(IN, _LANE), bt.k_in)
-    # Row tile: keep the (double-buffered) x block within budget.
-    mt = max(_SUBLANE, min(512, (_VMEM_BUDGET // 3) // max(in_pad * 4, 1)))
-    mt = max(_SUBLANE, (mt // _SUBLANE) * _SUBLANE)
+    ibytes = x2.dtype.itemsize
+    obytes = jnp.dtype(out_dtype).itemsize
+    sub = max(_sublane(x2.dtype), _sublane(out_dtype))
+
+    # Preferred shape: static-unrolled kernel writing full output rows —
+    # one grid step per row-tile (per-step overhead amortised over all
+    # output tiles).  Fall back to the streamed per-tile kernel when the
+    # row blocks would not fit VMEM.
+    def row_bytes(mt):
+        return mt * (in_pad * ibytes + bt.out_padded * obytes)
+
+    mt = min(1024, max(sub, (_VMEM_BUDGET // 2) // max(row_bytes(1), 1)))
+    mt = max(sub, (mt // sub) * sub)
+    band_bytes = bt.n_tiles * bt.k_in * _LANE * 4
+    use_unrolled = (
+        bt.n_tiles <= _MAX_UNROLL_TILES
+        and row_bytes(mt) * 2 + band_bytes <= _VMEM_BUDGET
+    )
+    if use_unrolled:
+        m_pad = _round_up(max(M, mt), mt)
+        x2 = jnp.pad(x2, ((0, m_pad - M), (0, in_pad - IN)))
+        starts_static = tuple(int(s) for s in bt.starts)
+        body = functools.partial(
+            _kernel_last_unrolled,
+            starts=starts_static,
+            k_in=bt.k_in,
+            tile=_LANE,
+            precision=precision,
+            out_dtype=out_dtype,
+            in_exact=in_exact,
+            fused_spec=spec if fused else None,
+        )
+        in_specs = [
+            pl.BlockSpec((mt, in_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        operands = [x2]
+        if not fused:
+            in_specs.append(
+                pl.BlockSpec(
+                    (bt.n_tiles, bt.k_in, _LANE),
+                    lambda i: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            operands.append(jnp.asarray(bt.band))
+            kern = body
+        else:
+            kern = lambda x_ref, o_ref: body(x_ref, None, o_ref)
+        y = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((m_pad, bt.out_padded), out_dtype),
+            out_specs=pl.BlockSpec(
+                (mt, bt.out_padded), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            grid=(m_pad // mt,),
+            in_specs=in_specs,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m_pad * bt.k_in * bt.out_padded,
+                bytes_accessed=m_pad * in_pad * ibytes
+                + m_pad * bt.out_padded * obytes
+                + band_bytes,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(*operands)
+        return y[:M, : spec.out_size]
+
+    mt = min(512, (_VMEM_BUDGET // 3) // max(in_pad * ibytes, 1))
+    mt = max(sub, (mt // sub) * sub)
     m_pad = _round_up(max(M, mt), mt)
     x2 = jnp.pad(x2, ((0, m_pad - M), (0, in_pad - IN)))
     starts = jnp.asarray(bt.starts, dtype=jnp.int32)
     grid = (m_pad // mt, bt.n_tiles)
 
     common = dict(
-        out_shape=jax.ShapeDtypeStruct((m_pad, bt.out_padded), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, bt.out_padded), out_dtype),
         out_specs=pl.BlockSpec(
             (mt, _LANE), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
@@ -185,19 +337,15 @@ def _pass_last(
     )
     cost = pl.CostEstimate(
         flops=2 * m_pad * bt.k_in * bt.out_padded,
-        bytes_accessed=(m_pad * in_pad + m_pad * bt.out_padded) * 4
+        bytes_accessed=m_pad * in_pad * ibytes
+        + m_pad * bt.out_padded * jnp.dtype(out_dtype).itemsize
         + bt.band.size * 4,
         transcendentals=0,
     )
+    kw = dict(k_in=bt.k_in, precision=precision, out_dtype=out_dtype, in_align=_LANE, in_exact=in_exact)
     if fused:
         y = pl.pallas_call(
-            functools.partial(
-                _kernel_last_fused,
-                spec=spec,
-                tile=_LANE,
-                k_in=bt.k_in,
-                precision=precision,
-            ),
+            functools.partial(_kernel_last_fused, spec=spec, tile=_LANE, **kw),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((mt, in_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -208,7 +356,7 @@ def _pass_last(
     else:
         band = jnp.asarray(bt.band)  # [n_tiles, k_in, tile] — VMEM-resident
         y = pl.pallas_call(
-            functools.partial(_kernel_last, k_in=bt.k_in, precision=precision),
+            functools.partial(_kernel_last, **kw),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((mt, in_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -224,24 +372,95 @@ def _pass_last(
     return y[:M, : spec.out_size]
 
 
-def _pass_mid(
-    x3: jax.Array, spec: AxisSpec, fused: bool, precision
-) -> jax.Array:
-    """x3: [B, IN, W] float32 -> [B, OUT, W] float32 (contraction over axis 1)."""
+def _pass_mid(x3, spec, fused, precision, out_dtype):
+    """x3: [B, IN, W] (u8/bf16/f32) -> [B, OUT, W] out_dtype (axis-1 pass)."""
     B, IN, W = x3.shape
-    bt = _tiles_cached(spec, _LANE, _SUBLANE)
-    in_pad = max(_round_up(IN, _SUBLANE), bt.k_in)
+    in_exact = x3.dtype == jnp.uint8
+    in_align = _sublane(x3.dtype)  # sublane-dim windows
+    bt = _tiles_cached(spec, _LANE, in_align)
+    in_pad = max(_round_up(IN, in_align), bt.k_in)
     w_pad = _round_up(W, _LANE)
-    # Column tile: x block is (1, in_pad, wt).
-    wt = max(_LANE, min(512, (_VMEM_BUDGET // 3) // max(in_pad * 4, 1)))
+    ibytes = x3.dtype.itemsize
+    obytes = jnp.dtype(out_dtype).itemsize
+    band_bytes = bt.n_tiles * bt.k_in * _LANE * 4
+
+    # Preferred: static-unrolled kernel over several images per step.
+    def blk_bytes(bsz, wtile):
+        return bsz * wtile * (in_pad * ibytes + bt.out_padded * obytes)
+
+    wt0 = min(512, max(_LANE, w_pad))
+    wt0 = max(_LANE, (wt0 // _LANE) * _LANE)
+    bsz = max(1, (_VMEM_BUDGET // 2) // max(blk_bytes(1, wt0), 1))
+    bsz = min(bsz, 8, B)
+    use_unrolled = (
+        bt.n_tiles <= _MAX_UNROLL_TILES
+        and blk_bytes(bsz, wt0) * 2 + band_bytes <= _VMEM_BUDGET
+    )
+    if use_unrolled:
+        wt = wt0
+        w_pad2 = _round_up(w_pad, wt)
+        b_pad = _round_up(B, bsz)
+        x3 = jnp.pad(x3, ((0, b_pad - B), (0, in_pad - IN), (0, w_pad2 - W)))
+        starts_static = tuple(int(s) for s in bt.starts)
+        body = functools.partial(
+            _kernel_mid_unrolled,
+            starts=starts_static,
+            k_in=bt.k_in,
+            tile=_LANE,
+            bt=bsz,
+            precision=precision,
+            out_dtype=out_dtype,
+            in_exact=in_exact,
+            fused_spec=spec if fused else None,
+        )
+        in_specs = [
+            pl.BlockSpec(
+                (bsz, in_pad, wt), lambda b, k: (b, 0, k), memory_space=pltpu.VMEM
+            )
+        ]
+        operands = [x3]
+        if not fused:
+            in_specs.append(
+                pl.BlockSpec(
+                    (bt.n_tiles, bt.k_in, _LANE),
+                    lambda b, k: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            operands.append(jnp.asarray(bt.band))
+            kern = body
+        else:
+            kern = lambda x_ref, o_ref: body(x_ref, None, o_ref)
+        y = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((b_pad, bt.out_padded, w_pad2), out_dtype),
+            out_specs=pl.BlockSpec(
+                (bsz, bt.out_padded, wt), lambda b, k: (b, 0, k),
+                memory_space=pltpu.VMEM,
+            ),
+            grid=(b_pad // bsz, w_pad2 // wt),
+            in_specs=in_specs,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b_pad * w_pad2 * bt.k_in * bt.out_padded,
+                bytes_accessed=b_pad * in_pad * w_pad2 * ibytes
+                + b_pad * bt.out_padded * w_pad2 * obytes
+                + band_bytes,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(*operands)
+        return y[:B, : spec.out_size, :W]
+
+    wt = min(512, (_VMEM_BUDGET // 3) // max(in_pad * ibytes, 1))
     wt = max(_LANE, (wt // _LANE) * _LANE)
     w_pad = _round_up(w_pad, wt)
     x3 = jnp.pad(x3, ((0, 0), (0, in_pad - IN), (0, w_pad - W)))
     starts = jnp.asarray(bt.starts, dtype=jnp.int32)
+    # out sublane dim is the OH tile (128) — fine for every out dtype.
     grid = (B, w_pad // wt, bt.n_tiles)
 
     common = dict(
-        out_shape=jax.ShapeDtypeStruct((B, bt.out_padded, w_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, bt.out_padded, w_pad), out_dtype),
         out_specs=pl.BlockSpec(
             (1, _LANE, wt), lambda b, k, j: (b, j, k), memory_space=pltpu.VMEM
         ),
@@ -250,19 +469,15 @@ def _pass_mid(
     )
     cost = pl.CostEstimate(
         flops=2 * B * w_pad * bt.k_in * bt.out_padded,
-        bytes_accessed=(B * in_pad * w_pad + B * bt.out_padded * w_pad) * 4
+        bytes_accessed=B * in_pad * w_pad * ibytes
+        + B * bt.out_padded * w_pad * jnp.dtype(out_dtype).itemsize
         + bt.band.size * 4,
         transcendentals=0,
     )
+    kw = dict(k_in=bt.k_in, precision=precision, out_dtype=out_dtype, in_align=in_align, in_exact=in_exact)
     if fused:
         y = pl.pallas_call(
-            functools.partial(
-                _kernel_mid_fused,
-                spec=spec,
-                tile=_LANE,
-                k_in=bt.k_in,
-                precision=precision,
-            ),
+            functools.partial(_kernel_mid_fused, spec=spec, tile=_LANE, **kw),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(
@@ -275,7 +490,7 @@ def _pass_mid(
     else:
         band = jnp.asarray(bt.band)
         y = pl.pallas_call(
-            functools.partial(_kernel_mid, k_in=bt.k_in, precision=precision),
+            functools.partial(_kernel_mid, **kw),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(
@@ -294,18 +509,17 @@ def _pass_mid(
 
 
 def pallas_supported(x: jax.Array, spec: AxisSpec, axis: int) -> bool:
-    if x.dtype not in (jnp.float32,):
+    if x.dtype not in (jnp.float32, jnp.bfloat16, jnp.uint8):
         return False
     axis = axis % x.ndim
     trail = int(np.prod(x.shape[axis + 1 :])) if axis + 1 < x.ndim else 1
-    align = _LANE if trail == 1 else _SUBLANE
+    align = _LANE if trail == 1 else _sublane(x.dtype)
     bt = _tiles_cached(spec, _LANE, align)
     in_pad = max(_round_up(spec.in_size, align), bt.k_in)
-    # x row-block + resident band must fit the VMEM budget.
     band_bytes = bt.n_tiles * bt.k_in * _LANE * 4
     if band_bytes > _VMEM_BUDGET // 2:
         return False
-    if in_pad * 4 * _SUBLANE > _VMEM_BUDGET // 3:  # even 8 rows won't fit
+    if in_pad * x.dtype.itemsize * 32 > _VMEM_BUDGET // 3:  # even 32 rows too big
         return False
     return True
 
@@ -315,33 +529,40 @@ def resize_axis_pallas(
     spec: AxisSpec,
     axis: int,
     fused: bool = False,
-    precision=jax.lax.Precision.HIGHEST,
+    precision="split",
+    out_dtype=None,
 ) -> jax.Array:
     """Resize ``axis`` of ``x`` (any rank) with the Pallas banded kernels.
 
     The array is viewed as ``[lead..., IN, trail...]``; trailing axes are
-    flattened into the lane dimension (middle-axis kernel) or, when there are
-    none, the leading axes are flattened into rows (last-axis kernel) — so
-    both NCHW and NHWC run without transposes.
+    flattened into the lane dimension (middle-axis kernel) or, when there
+    are none, the leading axes are flattened into rows (last-axis kernel) —
+    so both NCHW and NHWC run without transposes.
+
+    ``x`` may be uint8 / bfloat16 / float32 (widened to f32 in VMEM);
+    ``out_dtype`` may be uint8 (PIL-style round+clip in-kernel), bfloat16
+    or float32.  Default out_dtype: f32 for u8 inputs, else x.dtype.
     """
     if x.shape[axis] != spec.in_size:
         raise ValueError(f"axis {axis} has {x.shape[axis]} != {spec.in_size}")
     if fused and spec.mode in ("box", "nearest"):
         fused = False  # discontinuous filter: edge taps are not ~0 (see _synth_band)
+    if out_dtype is None:
+        out_dtype = jnp.float32 if x.dtype == jnp.uint8 else x.dtype
+    out_dtype = jnp.dtype(out_dtype)
     axis = axis % x.ndim
-    lead = x.shape[:axis]
-    trail = x.shape[axis + 1 :]
+    lead, trail = x.shape[:axis], x.shape[axis + 1 :]
     nlead = int(np.prod(lead)) if lead else 1
     ntrail = int(np.prod(trail)) if trail else 1
-    if ntrail == 1:
-        y = _pass_last(
-            x.reshape(nlead, spec.in_size).astype(jnp.float32), spec, fused, precision
+    if debug_enabled():
+        print(
+            f"[ia-tpu] pallas {'mid' if ntrail > 1 else 'last'} axis={axis} "
+            f"{spec.in_size}->{spec.out_size} {x.dtype}->{out_dtype} fused={fused}"
         )
+    if ntrail == 1:
+        y = _pass_last(x.reshape(nlead, spec.in_size), spec, fused, precision, out_dtype)
         return y.reshape(*lead, spec.out_size, *trail)
     y = _pass_mid(
-        x.reshape(nlead, spec.in_size, ntrail).astype(jnp.float32),
-        spec,
-        fused,
-        precision,
+        x.reshape(nlead, spec.in_size, ntrail), spec, fused, precision, out_dtype
     )
     return y.reshape(*lead, spec.out_size, *trail)

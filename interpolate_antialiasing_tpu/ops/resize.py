@@ -209,6 +209,26 @@ def resize(
     oh, ow = int(size[0]), int(size[1])
     h_axis, w_axis = _axes_for(x, data_format)
     in_dtype = x.dtype
+    out_dtype_resolved = output_dtype if output_dtype is not None else in_dtype
+    backend_resolved = backend or default_backend()
+    # Fast uint8 path: decode/encode inside the Pallas kernels so the image
+    # crosses HBM at 1 byte/px on input and output (intermediate stays f32).
+    if (
+        in_dtype == jnp.uint8
+        and jnp.dtype(out_dtype_resolved) == jnp.uint8
+        and backend_resolved in ("auto", "pallas")
+        and _on_tpu()
+    ):
+        from .pallas_resize import pallas_supported, resize_axis_pallas
+
+        spec_w = make_axis_spec(x.shape[w_axis], ow, method, antialias, align_corners)
+        spec_h = make_axis_spec(x.shape[h_axis], oh, method, antialias, align_corners)
+        if pallas_supported(x, spec_w, w_axis):
+            t = resize_axis_pallas(x, spec_w, w_axis, out_dtype=jnp.float32)
+            if pallas_supported(t, spec_h, h_axis):
+                if debug_enabled():
+                    print("[ia-tpu] uint8 fast path (u8->f32->u8 in-kernel)")
+                return resize_axis_pallas(t, spec_h, h_axis, out_dtype=jnp.uint8)
     if in_dtype == jnp.uint8:
         cdtype = jnp.float32
     elif jnp.issubdtype(in_dtype, jnp.floating):

@@ -1,0 +1,64 @@
+"""Cross-check against torch.nn.functional.interpolate (CPU).
+
+The reference prototype *became* torch's ``antialias=True`` path, so stock
+torch is a second executable oracle:
+  * antialias=True  — must match our AA path,
+  * antialias=False — must match our classic (non-AA) path, which the
+    reference keeps alongside (step_zero/aa_interpolation_impl.h:378-407).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import interpolate_antialiasing_tpu as ia
+
+torch = pytest.importorskip("torch")
+
+SIZES = [(196, 320), (96, 120), (196, 1200), (67, 41)]
+
+
+def _torch_resize(x_np, ohw, mode, antialias, align_corners):
+    t = torch.from_numpy(x_np)
+    ac = align_corners if mode != "nearest" else None
+    out = torch.nn.functional.interpolate(
+        t, size=ohw, mode=mode, align_corners=ac, antialias=antialias
+    )
+    return out.numpy()
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("ohw", SIZES)
+def test_aa_matches_torch(rng, mode, ohw):
+    x = rng.random((2, 3, 438, 906)).astype(np.float32) * 255.0
+    ref = _torch_resize(x, ohw, mode, antialias=True, align_corners=False)
+    y = np.asarray(
+        ia.resize_plane(jnp.asarray(x), ohw, 2, 3, mode=mode, backend="dense")
+    )
+    np.testing.assert_allclose(y, ref, atol=2e-2, rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("ohw", [(96, 120), (67, 41), (500, 1000)])
+def test_non_aa_matches_torch(rng, mode, align_corners, ohw):
+    """antialias=False reproduces classic torch interpolation, both
+    align_corners conventions — the reference's retained non-AA path."""
+    x = rng.random((1, 2, 200, 300)).astype(np.float32)
+    ref = _torch_resize(x, ohw, mode, antialias=False, align_corners=align_corners)
+    y = np.asarray(
+        ia.resize_plane(
+            jnp.asarray(x), ohw, 2, 3, mode=mode, antialias=False,
+            align_corners=align_corners, backend="dense",
+        )
+    )
+    np.testing.assert_allclose(y, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_upsample_aa_matches_torch(rng):
+    # AA upsample == non-AA upsample in torch and in PIL semantics.
+    x = rng.random((1, 3, 50, 60)).astype(np.float32)
+    ref = _torch_resize(x, (100, 90), "bilinear", True, False)
+    y = np.asarray(ia.resize_plane(jnp.asarray(x), (100, 90), 2, 3, backend="dense"))
+    np.testing.assert_allclose(y, ref, atol=2e-5, rtol=1e-5)
