@@ -24,6 +24,12 @@ enum FilterId : int32_t {
   kBox = 1,
   kBicubic = 2,
   kLanczos3 = 3,
+  kBicubic075 = 4,  // classic (non-AA) torch/OpenCV convention
+};
+
+enum BorderId : int32_t {
+  kRenorm = 0,     // PIL/antialias: clip window, renormalise
+  kReplicate = 1,  // classic: clamp tap indices onto the edge pixel
 };
 
 inline double triangle(double x) {
@@ -35,13 +41,14 @@ inline double box(double x) {
   return (x > -0.5 && x <= 0.5) ? 1.0 : 0.0;
 }
 
-inline double keys_cubic(double x) {
-  constexpr double a = -0.5;
+inline double keys_cubic_a(double x, double a) {
   x = std::fabs(x);
   if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
   if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
   return 0.0;
 }
+
+inline double keys_cubic(double x) { return keys_cubic_a(x, -0.5); }
 
 inline double sinc(double x) {
   if (x == 0.0) return 1.0;
@@ -58,6 +65,7 @@ inline double eval(int32_t f, double x) {
     case kBilinear: return triangle(x);
     case kBox: return box(x);
     case kBicubic: return keys_cubic(x);
+    case kBicubic075: return keys_cubic_a(x, -0.75);
     default: return lanczos3(x);
   }
 }
@@ -67,6 +75,7 @@ inline double filter_support(int32_t f) {
     case kBilinear: return 1.0;
     case kBox: return 0.5;
     case kBicubic: return 2.0;
+    case kBicubic075: return 2.0;
     default: return 3.0;
   }
 }
@@ -90,10 +99,11 @@ int32_t aa_ntaps(int64_t in_size, int64_t out_size, int32_t filter,
   return int32_t(std::ceil(support)) * 2 + 1;
 }
 
-void aa_compute_tables(int64_t in_size, int64_t out_size, int32_t filter,
-                       int32_t antialias, int32_t align_corners,
-                       int32_t* xmin_out, int32_t* size_out,
-                       double* weights_out) {
+void aa_compute_tables_v2(int64_t in_size, int64_t out_size, int32_t filter,
+                          int32_t antialias, int32_t align_corners,
+                          int32_t border,
+                          int32_t* xmin_out, int32_t* size_out,
+                          double* weights_out) {
   double scale;
   if (align_corners) {
     scale = out_size > 1 ? double(in_size - 1) / double(out_size - 1) : 0.0;
@@ -111,6 +121,32 @@ void aa_compute_tables(int64_t in_size, int64_t out_size, int32_t filter,
   for (int64_t i = 0; i < out_size; ++i) {
     const double center =
         align_corners ? scale * double(i) + 0.5 : scale * (double(i) + 0.5);
+    double* w = weights_out + i * ntaps;
+    if (border == kReplicate) {
+      // unclamped window; fold out-of-range taps onto the edge pixel
+      const int64_t lo0 = int64_t(std::floor(center - support + 0.5));
+      double raw[64];
+      double total = 0.0;
+      for (int32_t j = 0; j < ntaps; ++j) {
+        raw[j] = eval(filter, (double(j + lo0) - center + 0.5) * invscale);
+        total += raw[j];
+      }
+      if (total != 0.0) {
+        for (int32_t j = 0; j < ntaps; ++j) raw[j] /= total;
+      }
+      auto clampi = [&](int64_t v) {
+        return v < 0 ? int64_t(0) : (v >= in_size ? in_size - 1 : v);
+      };
+      const int64_t lo = clampi(lo0);
+      const int64_t hi = clampi(lo0 + ntaps - 1);
+      xmin_out[i] = int32_t(lo);
+      size_out[i] = int32_t(hi - lo + 1);
+      for (int32_t j = 0; j < ntaps; ++j) w[j] = 0.0;
+      for (int32_t j = 0; j < ntaps; ++j) {
+        w[clampi(lo0 + j) - lo] += raw[j];
+      }
+      continue;
+    }
     int64_t lo = int64_t(std::floor(center - support + 0.5));
     if (lo < 0) lo = 0;
     int64_t hi = int64_t(std::floor(center + support + 0.5));
@@ -118,7 +154,6 @@ void aa_compute_tables(int64_t in_size, int64_t out_size, int32_t filter,
     const int64_t n = hi - lo;
     xmin_out[i] = int32_t(lo);
     size_out[i] = int32_t(n);
-    double* w = weights_out + i * ntaps;
     double total = 0.0;
     for (int64_t j = 0; j < n; ++j) {
       w[j] = eval(filter, (double(j + lo) - center + 0.5) * invscale);
@@ -129,6 +164,15 @@ void aa_compute_tables(int64_t in_size, int64_t out_size, int32_t filter,
     }
     for (int64_t j = n; j < ntaps; ++j) w[j] = 0.0;
   }
+}
+
+// Back-compat wrapper (renorm border).
+void aa_compute_tables(int64_t in_size, int64_t out_size, int32_t filter,
+                       int32_t antialias, int32_t align_corners,
+                       int32_t* xmin_out, int32_t* size_out,
+                       double* weights_out) {
+  aa_compute_tables_v2(in_size, out_size, filter, antialias, align_corners,
+                       kRenorm, xmin_out, size_out, weights_out);
 }
 
 // Scatter the compact tables into a dense [out, in] row-major matrix.

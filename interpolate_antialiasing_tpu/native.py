@@ -28,6 +28,7 @@ FILTER_IDS = {
     "bicubic": 2,
     "cubic": 2,
     "lanczos3": 3,
+    "bicubic075": 4,
 }
 
 _lock = threading.Lock()
@@ -85,10 +86,10 @@ def _load():
         lib.aa_ntaps.restype = ctypes.c_int32
         lib.aa_ntaps.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
                                  ctypes.c_int32, ctypes.c_int32]
-        lib.aa_compute_tables.restype = None
-        lib.aa_compute_tables.argtypes = [
+        lib.aa_compute_tables_v2.restype = None
+        lib.aa_compute_tables_v2.argtypes = [
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
@@ -112,12 +113,18 @@ def compute_tables_native(
     lib = _load()
     if lib is None:
         return None
+    # Same mode/border mapping as ops.weights.make_axis_spec: the classic
+    # (non-AA) bicubic is Keys a=-0.75 with replicate borders.
+    if not antialias and FILTER_IDS.get(mode) == 2:
+        mode = "bicubic075"
+    border = 0 if antialias else 1
     fid = FILTER_IDS[mode]
     ntaps = lib.aa_ntaps(in_size, out_size, fid, int(antialias), int(align_corners))
     xmin = np.empty(out_size, np.int32)
     size = np.empty(out_size, np.int32)
     w = np.empty((out_size, ntaps), np.float64)
-    lib.aa_compute_tables(
-        in_size, out_size, fid, int(antialias), int(align_corners), xmin, size, w
+    lib.aa_compute_tables_v2(
+        in_size, out_size, fid, int(antialias), int(align_corners), border,
+        xmin, size, w,
     )
     return xmin, size, w

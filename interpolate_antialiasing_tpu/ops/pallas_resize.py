@@ -545,8 +545,8 @@ def resize_axis_pallas(
     """
     if x.shape[axis] != spec.in_size:
         raise ValueError(f"axis {axis} has {x.shape[axis]} != {spec.in_size}")
-    if fused and spec.mode in ("box", "nearest"):
-        fused = False  # discontinuous filter: edge taps are not ~0 (see _synth_band)
+    if fused and (spec.mode in ("box", "nearest") or spec.border != "renorm"):
+        fused = False  # discontinuous filter / replicate borders (see _synth_band)
     if out_dtype is None:
         out_dtype = jnp.float32 if x.dtype == jnp.uint8 else x.dtype
     out_dtype = jnp.dtype(out_dtype)

@@ -82,6 +82,11 @@ class AxisSpec:
     support: float = 0.0  # half-width of the (possibly widened) window
     invscale: float = 1.0  # argument scaling fed into the filter
     ntaps: int = 0  # static max window length = ceil(support)*2 + 1
+    # Border handling: "renorm" (PIL/antialias — clip the window and
+    # renormalise, reference :253-279) or "replicate" (classic torch non-AA
+    # — clamp tap indices to the edge, folding out-of-range weights onto
+    # the border pixel, like ATen's index clamping).
+    border: str = "renorm"
 
     @property
     def filter(self) -> Filter:
@@ -96,7 +101,13 @@ def make_axis_spec(
     align_corners: bool = False,
     scale_factor: float | None = None,
 ) -> AxisSpec:
+    # The classic (non-AA) bicubic convention is Keys a=-0.75 with
+    # replicate borders (torch/OpenCV); the AA path is PIL's a=-0.5 with
+    # renormalised borders.
+    if not antialias and get_filter(mode).name in ("bicubic", "cubic"):
+        mode = "bicubic075"
     filt = get_filter(mode)
+    border = "renorm" if antialias else "replicate"
     scale = area_pixel_compute_scale(in_size, out_size, align_corners, scale_factor)
     # Antialias widens the window only when downsampling (scale >= 1);
     # reference: step_two_dot_two/aa_interpolation_impl.h:207-209, 242.
@@ -117,6 +128,7 @@ def make_axis_spec(
         support=support,
         invscale=invscale,
         ntaps=ntaps,
+        border=border,
     )
 
 
@@ -148,6 +160,9 @@ def compute_tables(
     support = dtype(spec.support)
     half = dtype(0.5)
 
+    if spec.border == "replicate":
+        return _compute_tables_replicate(spec, center, support, half, dtype)
+
     # int() in the reference truncates toward zero, but the lower bound is
     # clamped to 0 (where trunc == floor for the surviving values) and the
     # upper bound argument is positive, so floor is exact here.
@@ -171,6 +186,29 @@ def compute_tables(
     return xmin.astype(np.int32), size.astype(np.int32), w.astype(dtype)
 
 
+def _compute_tables_replicate(spec, center, support, half, dtype):
+    """Classic-path tables: unclamped window, out-of-range taps folded onto
+    the nearest edge pixel (ATen index-clamp semantics)."""
+    out, ntaps, insz = spec.out_size, spec.ntaps, spec.in_size
+    xmin0 = np.floor(center - support + half).astype(np.int64)  # may be < 0
+    j = np.arange(ntaps, dtype=dtype)
+    arg = (j[None, :] + xmin0[:, None].astype(dtype) - center[:, None] + half) * dtype(
+        spec.invscale
+    )
+    w = spec.filter(arg, np)  # [out, ntaps]
+    total = w.sum(axis=1, keepdims=True)
+    w = np.where(total != 0.0, w / np.where(total == 0.0, 1.0, total), w)
+
+    idx = np.clip(xmin0[:, None] + np.arange(ntaps)[None, :], 0, insz - 1)
+    new_xmin = idx[:, 0]
+    size = idx[:, -1] - new_xmin + 1
+    folded = np.zeros((out, ntaps), dtype=dtype)
+    rows = np.repeat(np.arange(out), ntaps)
+    cols = (idx - new_xmin[:, None]).reshape(-1)
+    np.add.at(folded, (rows, cols), w.reshape(-1))
+    return new_xmin.astype(np.int32), size.astype(np.int32), folded
+
+
 def compute_tables_traced(spec: AxisSpec, xp, dtype) -> tuple[Any, Any, Any]:
     """Traceable (jax.numpy / in-kernel) table builder.
 
@@ -180,6 +218,8 @@ def compute_tables_traced(spec: AxisSpec, xp, dtype) -> tuple[Any, Any, Any]:
     reference's CUDA playground question of precompute-vs-fuse,
     playground_cuda/playground.cu:31-62).
     """
+    if spec.border != "renorm":
+        raise NotImplementedError("traced tables support the renorm border only")
     out, ntaps = spec.out_size, spec.ntaps
     i = xp.arange(out, dtype=dtype)
     if spec.align_corners:
