@@ -566,3 +566,177 @@ def resize_axis_pallas(
         x.reshape(nlead, spec.in_size, ntrail), spec, fused, precision, out_dtype
     )
     return y.reshape(*lead, spec.out_size, *trail)
+
+
+# ---------------------------------------------------------------------------
+# Fused two-pass pipeline: pad once, chain W then H pass entirely in padded
+# layout, slice once at the end.  Removes the inter-pass pad/slice copies
+# (each a full read+write of the intermediate) that dominate the separate-
+# pass path on bandwidth-bound chips.
+# ---------------------------------------------------------------------------
+
+
+def _divisor_near(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target (>=1)."""
+    d = min(max(target, 1), n)
+    while n % d:
+        d -= 1
+    return d
+
+
+def resize2d_supported(x: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec) -> bool:
+    if x.dtype not in (jnp.float32, jnp.bfloat16, jnp.uint8):
+        return False
+    if x.ndim < 2:
+        return False
+    btw = _tiles_cached(spec_w, _LANE, _LANE)
+    bth = _tiles_cached(spec_h, _LANE, _sublane(jnp.float32))
+    if btw.n_tiles > _MAX_UNROLL_TILES or bth.n_tiles > _MAX_UNROLL_TILES:
+        return False
+    w_pad = max(_round_up(spec_w.in_size, _LANE), btw.k_in)
+    h_pad = _round_up(max(_round_up(spec_h.in_size, 8), bth.k_in), _LANE)
+    # one row-block of pass 1 and one image-block of pass 2 must fit VMEM
+    p1 = h_pad * (w_pad * x.dtype.itemsize + btw.out_padded * 4)
+    p2 = h_pad * btw.out_padded * 4 + bth.out_padded * btw.out_padded * 4
+    band_bytes = (btw.n_tiles * btw.k_in + bth.n_tiles * bth.k_in) * _LANE * 4
+    return p1 * 2 + band_bytes <= _VMEM_BUDGET and p2 * 2 + band_bytes <= _VMEM_BUDGET
+
+
+def resize2d_pallas(
+    x: jax.Array,
+    spec_h: AxisSpec,
+    spec_w: AxisSpec,
+    out_dtype=None,
+    inter_dtype=jnp.float32,
+    precision="split",
+    fused: bool = False,
+) -> jax.Array:
+    """Separable 2-D resize of the trailing [H, W] axes with one input pad
+    and one output slice.
+
+    Pipeline: pad x to [B, H_pad, W_pad] (H_pad a multiple of 128 so pass-1
+    row-tiles align with image boundaries) → last-axis kernel over rows
+    (u8/bf16 decode in-kernel) → reshape (free) → middle-axis kernel per
+    image (u8 encode in-kernel) → slice.  The intermediate stays in its
+    padded [B, H_pad, OW_padded] form and never round-trips through
+    pad/slice copies.
+    """
+    if out_dtype is None:
+        out_dtype = jnp.float32 if x.dtype == jnp.uint8 else x.dtype
+    out_dtype = jnp.dtype(out_dtype)
+    lead = x.shape[:-2]
+    B = int(np.prod(lead)) if lead else 1
+    H, W = x.shape[-2], x.shape[-1]
+    if fused and (spec_w.mode in ("box", "nearest") or spec_w.border != "renorm"):
+        fused = False
+
+    btw = _tiles_cached(spec_w, _LANE, _LANE)
+    bth = _tiles_cached(spec_h, _LANE, _sublane(inter_dtype))
+    w_pad = max(_round_up(W, _LANE), btw.k_in)
+    h_pad = _round_up(max(_round_up(H, 8), bth.k_in), _LANE)
+    ow_pad = btw.out_padded  # multiple of 128 — serves as pass-2 lane tile
+    oh_pad = bth.out_padded
+
+    xp = jnp.pad(x.reshape(B, H, W), ((0, 0), (0, h_pad - H), (0, w_pad - W)))
+
+    # ---- pass 1: rows (contract W) ----
+    ib = x.dtype.itemsize
+    k_imgs = _divisor_near(
+        B, max(1, (_VMEM_BUDGET // 3) // max(h_pad * (w_pad * ib + ow_pad * 4), 1))
+    )
+    mt = k_imgs * h_pad
+    x2 = xp.reshape(B * h_pad, w_pad)
+    starts_w = tuple(int(s) for s in btw.starts)
+    body1 = functools.partial(
+        _kernel_last_unrolled,
+        starts=starts_w,
+        k_in=btw.k_in,
+        tile=_LANE,
+        precision=precision,
+        out_dtype=inter_dtype,
+        in_exact=x.dtype == jnp.uint8,
+        fused_spec=spec_w if fused else None,
+    )
+    in_specs = [pl.BlockSpec((mt, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    operands = [x2]
+    if not fused:
+        in_specs.append(
+            pl.BlockSpec(
+                (btw.n_tiles, btw.k_in, _LANE),
+                lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(jnp.asarray(btw.band))
+        kern1 = body1
+    else:
+        kern1 = lambda x_ref, o_ref: body1(x_ref, None, o_ref)
+    t = pl.pallas_call(
+        kern1,
+        out_shape=jax.ShapeDtypeStruct((B * h_pad, ow_pad), inter_dtype),
+        out_specs=pl.BlockSpec((mt, ow_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        grid=(B * h_pad // mt,),
+        in_specs=in_specs,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * h_pad * btw.k_in * ow_pad,
+            bytes_accessed=B * h_pad * (w_pad * ib + ow_pad * 4),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*operands)
+
+    # ---- pass 2: per image (contract H) ----
+    t3 = t.reshape(B, h_pad, ow_pad)
+    ob = out_dtype.itemsize
+    bsz = _divisor_near(
+        B,
+        max(1, (_VMEM_BUDGET // 3) // max(ow_pad * (h_pad * 4 + oh_pad * ob), 1)),
+    )
+    bsz = min(bsz, 8)
+    while B % bsz:
+        bsz -= 1
+    starts_h = tuple(int(s) for s in bth.starts)
+    body2 = functools.partial(
+        _kernel_mid_unrolled,
+        starts=starts_h,
+        k_in=bth.k_in,
+        tile=_LANE,
+        bt=bsz,
+        precision=precision,
+        out_dtype=out_dtype,
+        in_exact=False,
+        fused_spec=spec_h if fused else None,
+    )
+    in_specs2 = [
+        pl.BlockSpec((bsz, h_pad, ow_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    operands2 = [t3]
+    if not fused:
+        in_specs2.append(
+            pl.BlockSpec(
+                (bth.n_tiles, bth.k_in, _LANE),
+                lambda b: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands2.append(jnp.asarray(bth.band))
+        kern2 = body2
+    else:
+        kern2 = lambda x_ref, o_ref: body2(x_ref, None, o_ref)
+    y = pl.pallas_call(
+        kern2,
+        out_shape=jax.ShapeDtypeStruct((B, oh_pad, ow_pad), out_dtype),
+        out_specs=pl.BlockSpec(
+            (bsz, oh_pad, ow_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        grid=(B // bsz,),
+        in_specs=in_specs2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * ow_pad * bth.k_in * oh_pad,
+            bytes_accessed=B * ow_pad * (h_pad * 4 + oh_pad * ob),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*operands2)
+    out = y[:, : spec_h.out_size, : spec_w.out_size]
+    return out.reshape(*lead, spec_h.out_size, spec_w.out_size)

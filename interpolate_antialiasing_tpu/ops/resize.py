@@ -219,10 +219,20 @@ def resize(
         and backend_resolved in ("auto", "pallas")
         and _on_tpu()
     ):
-        from .pallas_resize import pallas_supported, resize_axis_pallas
+        from .pallas_resize import (
+            pallas_supported,
+            resize_axis_pallas,
+            resize2d_pallas,
+            resize2d_supported,
+        )
 
         spec_w = make_axis_spec(x.shape[w_axis], ow, method, antialias, align_corners)
         spec_h = make_axis_spec(x.shape[h_axis], oh, method, antialias, align_corners)
+        trailing_hw = h_axis == x.ndim - 2 and w_axis == x.ndim - 1
+        if trailing_hw and resize2d_supported(x, spec_h, spec_w):
+            if debug_enabled():
+                print("[ia-tpu] uint8 fused 2-pass pipeline")
+            return resize2d_pallas(x, spec_h, spec_w, out_dtype=jnp.uint8)
         if pallas_supported(x, spec_w, w_axis):
             t = resize_axis_pallas(x, spec_w, w_axis, out_dtype=jnp.float32)
             if pallas_supported(t, spec_h, h_axis):
