@@ -1,0 +1,110 @@
+"""Full benchmark matrix over the BASELINE.json workload configs.
+
+Prints one JSON row per (config, backend).  Run on TPU:
+
+    python benchmarks/run_all.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer iters")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import interpolate_antialiasing_tpu as ia
+    from interpolate_antialiasing_tpu.models import (
+        ImageNetEvalPipeline,
+        VideoDownscaler,
+    )
+    from interpolate_antialiasing_tpu.utils.timing import time_jit_loop
+
+    iters = 5 if args.quick else 10
+    rng = np.random.default_rng(0)
+
+    def report(name, fn, x, out_pixels):
+        try:
+            r = time_jit_loop(fn, x, iters=iters)
+            print(
+                json.dumps(
+                    {
+                        "config": name,
+                        "ms": round(r.seconds * 1e3, 3),
+                        "out_Mpix_s": round(out_pixels / r.seconds / 1e6, 1),
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as e:
+            print(json.dumps({"config": name, "error": repr(e)[:120]}), flush=True)
+
+    # 1. headline: batch-64 uint8 906x438 -> 320x196 bilinear AA
+    x = jnp.asarray((rng.random((64, 3, 438, 906)) * 255).astype(np.uint8))
+    for backend in ["pallas", "dense", "gather"]:
+        report(
+            f"headline-u8-b64[{backend}]",
+            lambda t, b=backend: ia.resize(t, (196, 320), backend=b),
+            x,
+            64 * 196 * 320,
+        )
+
+    # 2. bicubic, both layouts
+    xf = x.astype(jnp.float32)
+    report(
+        "bicubic-f32-b64[pallas]",
+        lambda t: ia.resize(t.astype(jnp.uint8), (196, 320), method="bicubic"),
+        xf,
+        64 * 196 * 320,
+    )
+    xh = jnp.transpose(x, (0, 2, 3, 1))
+    report(
+        "bicubic-u8-NHWC-b64[auto]",
+        lambda t: ia.resize(t, (196, 320), method="bicubic", data_format="NHWC"),
+        xh,
+        64 * 196 * 320,
+    )
+
+    # 3. ImageNet eval preprocessing: batch-64 -> 224x224 + normalise
+    pipe = ImageNetEvalPipeline(size=(224, 224))
+    report("imagenet-eval-b64", pipe, x, 64 * 224 * 224)
+
+    # 4. backward (VJP) workload
+    xs = jnp.asarray(rng.random((8, 3, 438, 906)).astype(np.float32))
+
+    def bwd(t):
+        f = lambda u: ia.resize_plane(u, (196, 320), 2, 3, mode="bilinear")
+        y, vjp = jax.vjp(f, t)
+        return vjp(y)[0]
+
+    report("bilinear-vjp-b8", bwd, xs, 8 * 196 * 320)
+
+    # 5. video: batch-8 bf16 3840x2160 -> 1920x1080
+    xv = jnp.asarray(rng.random((8, 3, 2160, 3840)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    vd = VideoDownscaler(out_hw=(1080, 1920))
+    report("video-4k-bf16-b8[pallas]", vd, xv, 8 * 1920 * 1080)
+    report(
+        "video-4k-f32-b8[jax.image]",
+        lambda t: jax.image.resize(
+            t.astype(jnp.float32), (8, 3, 1080, 1920), "bilinear", antialias=True
+        ).astype(jnp.bfloat16),
+        xv,
+        8 * 1920 * 1080,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -64,13 +64,15 @@ class VideoDownscaler:
 
     out_hw: tuple[int, int] = (1080, 1920)
     method: str = "bilinear"
+    backend: str | None = "pallas"  # fused 2-pass kernels; None = auto
 
     def __call__(self, frames: jax.Array) -> jax.Array:
         y = resize_plane(
-            frames.astype(jnp.float32),
+            frames.astype(jnp.bfloat16),
             self.out_hw,
             h_axis=-2,
             w_axis=-1,
             mode=self.method,
+            backend=self.backend,
         )
         return y.astype(jnp.bfloat16)

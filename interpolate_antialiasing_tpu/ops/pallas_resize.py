@@ -595,11 +595,16 @@ def resize2d_supported(x: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec) -> bool
         return False
     w_pad = max(_round_up(spec_w.in_size, _LANE), btw.k_in)
     h_pad = _round_up(max(_round_up(spec_h.in_size, 8), bth.k_in), _LANE)
-    # one row-block of pass 1 and one image-block of pass 2 must fit VMEM
-    p1 = h_pad * (w_pad * x.dtype.itemsize + btw.out_padded * 4)
-    p2 = h_pad * btw.out_padded * 4 + bth.out_padded * btw.out_padded * 4
     band_bytes = (btw.n_tiles * btw.k_in + bth.n_tiles * bth.k_in) * _LANE * 4
-    return p1 * 2 + band_bytes <= _VMEM_BUDGET and p2 * 2 + band_bytes <= _VMEM_BUDGET
+    # pass 1 tiles by rows (any divisor of h_pad), pass 2 chunks the width
+    # (any 128-multiple divisor of ow_pad) — both need just one minimal
+    # block + the resident band in VMEM.
+    p1_min = _LANE * (w_pad * x.dtype.itemsize + btw.out_padded * 4)
+    p2_min = _LANE * (h_pad * 4 + bth.out_padded * 4)
+    return (
+        p1_min * 2 + band_bytes <= _VMEM_BUDGET
+        and p2_min * 2 + band_bytes <= _VMEM_BUDGET
+    )
 
 
 def resize2d_pallas(
@@ -641,10 +646,21 @@ def resize2d_pallas(
 
     # ---- pass 1: rows (contract W) ----
     ib = x.dtype.itemsize
-    k_imgs = _divisor_near(
-        B, max(1, (_VMEM_BUDGET // 3) // max(h_pad * (w_pad * ib + ow_pad * 4), 1))
-    )
-    mt = k_imgs * h_pad
+    rows_budget = max(1, (_VMEM_BUDGET // 3) // max(w_pad * ib + ow_pad * 4, 1))
+    if rows_budget >= h_pad:
+        # whole images per block
+        mt = _divisor_near(B, rows_budget // h_pad) * h_pad
+    else:
+        # sub-image row tiles: any 128-multiple divisor of h_pad works
+        # (rows of pass 1 are independent and image boundaries stay
+        # block-aligned; 128 always divides h_pad and satisfies every
+        # dtype's sublane granularity)
+        cands = [
+            d
+            for d in range(_LANE, h_pad + 1, _LANE)
+            if h_pad % d == 0 and d <= rows_budget
+        ]
+        mt = max(cands) if cands else _LANE
     x2 = xp.reshape(B * h_pad, w_pad)
     starts_w = tuple(int(s) for s in btw.starts)
     body1 = functools.partial(
@@ -685,16 +701,19 @@ def resize2d_pallas(
         interpret=_interpret(),
     )(*operands)
 
-    # ---- pass 2: per image (contract H) ----
+    # ---- pass 2: per image (contract H), chunked along the width ----
     t3 = t.reshape(B, h_pad, ow_pad)
     ob = out_dtype.itemsize
-    bsz = _divisor_near(
-        B,
-        max(1, (_VMEM_BUDGET // 3) // max(ow_pad * (h_pad * 4 + oh_pad * ob), 1)),
-    )
-    bsz = min(bsz, 8)
-    while B % bsz:
-        bsz -= 1
+    col_budget = max(1, (_VMEM_BUDGET // 3) // max(h_pad * 4 + oh_pad * ob, 1))
+    wts = [
+        d for d in range(_LANE, ow_pad + 1, _LANE) if ow_pad % d == 0 and d <= col_budget
+    ]
+    wt = max(wts) if wts else _LANE
+    bsz = 1
+    if wt == ow_pad:
+        bsz = min(_divisor_near(B, col_budget // ow_pad), 8)
+        while B % bsz:
+            bsz -= 1
     starts_h = tuple(int(s) for s in bth.starts)
     body2 = functools.partial(
         _kernel_mid_unrolled,
@@ -708,14 +727,16 @@ def resize2d_pallas(
         fused_spec=spec_h if fused else None,
     )
     in_specs2 = [
-        pl.BlockSpec((bsz, h_pad, ow_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec(
+            (bsz, h_pad, wt), lambda b, k: (b, 0, k), memory_space=pltpu.VMEM
+        )
     ]
     operands2 = [t3]
     if not fused:
         in_specs2.append(
             pl.BlockSpec(
                 (bth.n_tiles, bth.k_in, _LANE),
-                lambda b: (0, 0, 0),
+                lambda b, k: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -727,9 +748,9 @@ def resize2d_pallas(
         kern2,
         out_shape=jax.ShapeDtypeStruct((B, oh_pad, ow_pad), out_dtype),
         out_specs=pl.BlockSpec(
-            (bsz, oh_pad, ow_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (bsz, oh_pad, wt), lambda b, k: (b, 0, k), memory_space=pltpu.VMEM
         ),
-        grid=(B // bsz,),
+        grid=(B // bsz, ow_pad // wt),
         in_specs=in_specs2,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * ow_pad * bth.k_in * oh_pad,

@@ -92,6 +92,17 @@ def _apply_axis(x: jax.Array, spec: AxisSpec, axis: int, backend: str) -> jax.Ar
 def _resize_plane_impl(
     x: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec, h_axis: int, w_axis: int, backend: str
 ) -> jax.Array:
+    # Explicit pallas backend on trailing [H, W]: fused two-pass pipeline
+    # (one pad, no inter-pass copies).
+    if backend == "pallas" and _on_tpu() and h_axis % x.ndim == x.ndim - 2 and (
+        w_axis % x.ndim == x.ndim - 1
+    ):
+        from .pallas_resize import resize2d_pallas, resize2d_supported
+
+        if resize2d_supported(x, spec_h, spec_w):
+            if debug_enabled():
+                print("[ia-tpu] fused 2-pass pipeline (float)")
+            return resize2d_pallas(x, spec_h, spec_w, out_dtype=x.dtype)
     # Same pass order as the reference's separable driver: innermost (W) dim
     # first, then H (step_two_dot_two/aa_interpolation_impl.h:655-679).
     y = _apply_axis(x, spec_w, w_axis, backend)
@@ -212,10 +223,12 @@ def resize(
     out_dtype_resolved = output_dtype if output_dtype is not None else in_dtype
     backend_resolved = backend or default_backend()
     # Fast uint8 path: decode/encode inside the Pallas kernels so the image
-    # crosses HBM at 1 byte/px on input and output (intermediate stays f32).
+    # crosses HBM at 1 byte/px on input (and output for u8->u8); the
+    # intermediate stays f32 in VMEM-padded layout.
     if (
         in_dtype == jnp.uint8
-        and jnp.dtype(out_dtype_resolved) == jnp.uint8
+        and jnp.dtype(out_dtype_resolved)
+        in (jnp.dtype(jnp.uint8), jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
         and backend_resolved in ("auto", "pallas")
         and _on_tpu()
     ):
@@ -232,7 +245,9 @@ def resize(
         if trailing_hw and resize2d_supported(x, spec_h, spec_w):
             if debug_enabled():
                 print("[ia-tpu] uint8 fused 2-pass pipeline")
-            return resize2d_pallas(x, spec_h, spec_w, out_dtype=jnp.uint8)
+            return resize2d_pallas(
+                x, spec_h, spec_w, out_dtype=jnp.dtype(out_dtype_resolved)
+            )
         if pallas_supported(x, spec_w, w_axis):
             t = resize_axis_pallas(x, spec_w, w_axis, out_dtype=jnp.float32)
             if pallas_supported(t, spec_h, h_axis):
