@@ -247,11 +247,21 @@ def _tiles_cached(spec: AxisSpec, tile: int, align: int) -> BandedTiles:
     return banded_tiles(spec, tile=tile, dtype=np.float32, align=align)
 
 
-def _pass_last(x2, spec, fused, precision, out_dtype):
+@functools.cache
+def _transpose_tiles_cached(spec: AxisSpec, tile: int, align: int) -> BandedTiles:
+    """Tiles of the adjoint matrix W^T — the backward pass's band."""
+    from .weights import banded_tiles_from_matrix, dense_matrix
+
+    Wt = dense_matrix(spec, dtype=np.float64).T
+    return banded_tiles_from_matrix(Wt, tile=tile, dtype=np.float32, align=align)
+
+
+def _pass_last(x2, spec, fused, precision, out_dtype, tiles=None, out_size=None):
     """x2: [M, IN] (u8/bf16/f32) -> [M, OUT] out_dtype."""
     M, IN = x2.shape
     in_exact = x2.dtype == jnp.uint8
-    bt = _tiles_cached(spec, _LANE, _LANE)  # lane-dim windows: 128-aligned
+    out_size = out_size if out_size is not None else spec.out_size
+    bt = tiles if tiles is not None else _tiles_cached(spec, _LANE, _LANE)
     in_pad = max(_round_up(IN, _LANE), bt.k_in)
     ibytes = x2.dtype.itemsize
     obytes = jnp.dtype(out_dtype).itemsize
@@ -318,7 +328,7 @@ def _pass_last(x2, spec, fused, precision, out_dtype):
             ),
             interpret=_interpret(),
         )(*operands)
-        return y[:M, : spec.out_size]
+        return y[:M, :out_size]
 
     mt = min(512, (_VMEM_BUDGET // 3) // max(in_pad * ibytes, 1))
     mt = max(sub, (mt // sub) * sub)
@@ -369,15 +379,16 @@ def _pass_last(x2, spec, fused, precision, out_dtype):
             cost_estimate=cost,
             **common,
         )(starts, x2, band)
-    return y[:M, : spec.out_size]
+    return y[:M, :out_size]
 
 
-def _pass_mid(x3, spec, fused, precision, out_dtype):
+def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
     """x3: [B, IN, W] (u8/bf16/f32) -> [B, OUT, W] out_dtype (axis-1 pass)."""
     B, IN, W = x3.shape
     in_exact = x3.dtype == jnp.uint8
+    out_size = out_size if out_size is not None else spec.out_size
     in_align = _sublane(x3.dtype)  # sublane-dim windows
-    bt = _tiles_cached(spec, _LANE, in_align)
+    bt = tiles if tiles is not None else _tiles_cached(spec, _LANE, in_align)
     in_pad = max(_round_up(IN, in_align), bt.k_in)
     w_pad = _round_up(W, _LANE)
     ibytes = x3.dtype.itemsize
@@ -449,7 +460,7 @@ def _pass_mid(x3, spec, fused, precision, out_dtype):
             ),
             interpret=_interpret(),
         )(*operands)
-        return y[:B, : spec.out_size, :W]
+        return y[:B, :out_size, :W]
 
     wt = min(512, (_VMEM_BUDGET // 3) // max(in_pad * ibytes, 1))
     wt = max(_LANE, (wt // _LANE) * _LANE)
@@ -505,7 +516,7 @@ def _pass_mid(x3, spec, fused, precision, out_dtype):
             cost_estimate=cost,
             **common,
         )(starts, x3, band)
-    return y[:, : spec.out_size, :W]
+    return y[:, :out_size, :W]
 
 
 def pallas_supported(x: jax.Array, spec: AxisSpec, axis: int) -> bool:
@@ -761,3 +772,59 @@ def resize2d_pallas(
     )(*operands2)
     out = y[:, : spec_h.out_size, : spec_w.out_size]
     return out.reshape(*lead, spec_h.out_size, spec_w.out_size)
+
+
+def transpose_supported(g: jax.Array, spec: AxisSpec, axis: int) -> bool:
+    if g.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    axis = axis % g.ndim
+    trail = int(np.prod(g.shape[axis + 1 :])) if axis + 1 < g.ndim else 1
+    align = _LANE if trail == 1 else _sublane(g.dtype)
+    bt = _transpose_tiles_cached(spec, _LANE, align)
+    band_bytes = bt.n_tiles * bt.k_in * _LANE * 4
+    in_pad = max(_round_up(spec.out_size, align), bt.k_in)
+    return (
+        band_bytes <= _VMEM_BUDGET // 2
+        and in_pad * g.dtype.itemsize * 32 <= _VMEM_BUDGET // 3
+    )
+
+
+def resize_axis_transpose_pallas(
+    g: jax.Array, spec: AxisSpec, axis: int, precision="split"
+) -> jax.Array:
+    """Apply the adjoint ``W^T`` of ``spec`` along ``axis`` — the Pallas
+    backward pass.  ``g`` has ``spec.out_size`` along ``axis``; the result
+    has ``spec.in_size``.  This replaces the reference's (incorrect) non-AA
+    C++ backward (aa_interpolation_backward_impl.h) with the true adjoint
+    running on the same banded MXU kernels."""
+    if g.shape[axis % g.ndim] != spec.out_size:
+        raise ValueError(
+            f"axis {axis} has {g.shape[axis % g.ndim]} != {spec.out_size}"
+        )
+    axis = axis % g.ndim
+    lead, trail = g.shape[:axis], g.shape[axis + 1 :]
+    nlead = int(np.prod(lead)) if lead else 1
+    ntrail = int(np.prod(trail)) if trail else 1
+    if ntrail == 1:
+        bt = _transpose_tiles_cached(spec, _LANE, _LANE)
+        y = _pass_last(
+            g.reshape(nlead, spec.out_size),
+            spec,
+            False,
+            precision,
+            g.dtype,
+            tiles=bt,
+            out_size=spec.in_size,
+        )
+        return y.reshape(*lead, spec.in_size, *trail)
+    bt = _transpose_tiles_cached(spec, _LANE, _sublane(g.dtype))
+    y = _pass_mid(
+        g.reshape(nlead, spec.out_size, ntrail),
+        spec,
+        False,
+        precision,
+        g.dtype,
+        tiles=bt,
+        out_size=spec.in_size,
+    )
+    return y.reshape(*lead, spec.in_size, *trail)

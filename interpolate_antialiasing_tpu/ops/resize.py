@@ -112,6 +112,13 @@ def _resize_plane_impl(
 
 def _transpose_axis(g: jax.Array, spec: AxisSpec, axis: int) -> jax.Array:
     """Apply ``W.T`` along ``axis`` — the exact adjoint of ``_apply_axis``."""
+    if _on_tpu() and g.dtype in (jnp.float32, jnp.bfloat16):
+        from .pallas_resize import resize_axis_transpose_pallas, transpose_supported
+
+        if transpose_supported(g, spec, axis):
+            if debug_enabled():
+                print(f"[ia-tpu] pallas adjoint axis={axis} {spec.out_size}->{spec.in_size}")
+            return resize_axis_transpose_pallas(g, spec, axis)
     cdtype = g.dtype
     tdt = np.float64 if cdtype == jnp.float64 else np.float32
     W = jnp.asarray(dense_matrix(spec, dtype=tdt), dtype=cdtype)  # [out, in]

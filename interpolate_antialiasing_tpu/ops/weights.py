@@ -46,6 +46,7 @@ __all__ = [
     "compute_tables_traced",
     "dense_matrix",
     "banded_tiles",
+    "banded_tiles_from_matrix",
     "transpose_dense_matrix",
 ]
 
@@ -339,6 +340,53 @@ def banded_tiles(
             k = int(xmin[u]) - start + taps  # positions inside the window
             ok = (k >= 0) & (k < k_in)
             band[t, k[ok], u - o0] = w[u, taps[ok]]
+    return BandedTiles(
+        starts=starts,
+        band=band.astype(dtype),
+        tile=tile,
+        k_in=k_in,
+        n_tiles=n_tiles,
+        out_padded=out_padded,
+    )
+
+
+def banded_tiles_from_matrix(
+    W: np.ndarray, tile: int = 128, dtype=np.float32, align: int = 8
+) -> BandedTiles:
+    """Tile-compact an arbitrary banded matrix ``W[out, in]``.
+
+    Used for the adjoint pass: the VJP of a resize is the transposed banded
+    matrix, which is again banded (with monotone window starts), so the same
+    Pallas kernels apply.  Window extents are derived from the nonzero
+    structure of each row-tile.
+    """
+    out, insz = W.shape
+    n_tiles = -(-out // tile)
+    out_padded = n_tiles * tile
+    in_cap = _round_up(insz, align)
+
+    los, his = [], []
+    for t in range(n_tiles):
+        rows = W[t * tile : min((t + 1) * tile, out)]
+        nz = np.nonzero(np.any(rows != 0.0, axis=0))[0]
+        if nz.size:
+            lo, hi = int(nz[0]), int(nz[-1]) + 1
+        else:
+            lo, hi = 0, 1
+        lo = (lo // align) * align
+        los.append(lo)
+        his.append(hi)
+    k_in = _round_up(max(hi - lo for lo, hi in zip(los, his)), align)
+    k_in = min(k_in, in_cap)
+
+    starts = np.zeros((n_tiles,), dtype=np.int32)
+    band = np.zeros((n_tiles, k_in, tile), dtype=np.float64)
+    for t in range(n_tiles):
+        start = max(0, min(los[t], in_cap - k_in))
+        starts[t] = start
+        rows = W[t * tile : min((t + 1) * tile, out)]
+        seg = rows[:, start : min(start + k_in, insz)]
+        band[t, : seg.shape[1], : seg.shape[0]] = seg.T
     return BandedTiles(
         starts=starts,
         band=band.astype(dtype),
