@@ -1,0 +1,77 @@
+"""Fused two-pass pipeline + Pallas adjoint tests (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from interpolate_antialiasing_tpu.ops.pallas_resize import (
+    resize2d_pallas,
+    resize2d_supported,
+    resize_axis_transpose_pallas,
+)
+from interpolate_antialiasing_tpu.ops.resize_xla import resize_axis_dense
+from interpolate_antialiasing_tpu.ops.weights import dense_matrix, make_axis_spec
+
+
+def _dense2d(x, spec_h, spec_w):
+    y = resize_axis_dense(x.astype(jnp.float32), spec_w, x.ndim - 1)
+    return resize_axis_dense(y, spec_h, x.ndim - 2)
+
+
+CASES = [
+    # (shape, (oh, ow), mode, in_dtype, out_dtype)
+    ((2, 3, 438, 906), (196, 320), "bilinear", jnp.uint8, jnp.uint8),
+    ((2, 3, 438, 906), (196, 320), "bicubic", jnp.uint8, jnp.float32),
+    ((1, 3, 100, 150), (250, 75), "bilinear", jnp.float32, jnp.float32),
+    ((2, 130, 140), (64, 72), "bilinear", jnp.float32, jnp.float32),
+    ((1, 1, 512, 768), (256, 384), "bilinear", jnp.bfloat16, jnp.bfloat16),
+    ((2, 3, 96, 128), (96, 128), "box", jnp.uint8, jnp.uint8),
+]
+
+
+@pytest.mark.parametrize("shape,ohw,mode,idt,odt", CASES)
+def test_fused_pipeline_matches_dense(rng, shape, ohw, mode, idt, odt):
+    xf = rng.random(shape).astype(np.float32) * (255.0 if idt == jnp.uint8 else 1.0)
+    x = jnp.asarray(xf).astype(idt)
+    spec_h = make_axis_spec(shape[-2], ohw[0], mode)
+    spec_w = make_axis_spec(shape[-1], ohw[1], mode)
+    assert resize2d_supported(x, spec_h, spec_w)
+    y = resize2d_pallas(x, spec_h, spec_w, out_dtype=odt)
+    assert y.shape == (*shape[:-2], *ohw) and y.dtype == odt
+    ref = _dense2d(x.astype(jnp.float32), spec_h, spec_w)
+    if odt == jnp.uint8:
+        ref = jnp.clip(jnp.floor(ref + 0.5), 0, 255)
+        err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref)))
+        assert err <= 1.0, err  # split-precision may flip a rounding boundary
+    else:
+        err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref)))
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+        tol = 2e-2 if (idt == jnp.bfloat16 or odt == jnp.bfloat16) else 1e-3
+        assert err <= tol * scale, (err, scale)
+
+
+def test_transpose_pass_matches_dense(rng):
+    for (i, o, ax, shape) in [
+        (906, 320, 3, (2, 3, 10, 320)),
+        (64, 196, 2, (2, 3, 196, 33)),
+        (50, 300, 3, (1, 2, 4, 300)),
+    ]:
+        spec = make_axis_spec(i, o, "bicubic")
+        g = jnp.asarray(rng.random(shape).astype(np.float32))
+        got = resize_axis_transpose_pallas(g, spec, ax)
+        W = dense_matrix(spec, dtype=np.float64)
+        ref = np.moveaxis(
+            np.moveaxis(np.asarray(g, dtype=np.float64), ax, -1) @ W, -1, ax
+        )
+        assert np.abs(np.asarray(got) - ref).max() < 5e-3
+
+
+def test_fused_synth_pipeline(rng):
+    x = jnp.asarray((rng.random((1, 3, 438, 906)) * 255).astype(np.uint8))
+    spec_h = make_axis_spec(438, 196, "bilinear")
+    spec_w = make_axis_spec(906, 320, "bilinear")
+    a = resize2d_pallas(x, spec_h, spec_w, out_dtype=jnp.uint8)
+    b = resize2d_pallas(x, spec_h, spec_w, out_dtype=jnp.uint8, fused=True)
+    # in-kernel weight synthesis may differ by 1 rounding step
+    assert float(jnp.max(jnp.abs(a.astype(jnp.int32) - b.astype(jnp.int32)))) <= 1
