@@ -35,3 +35,20 @@ class ResizeOptions:
     # Tile sizes for the Pallas kernels; 0 = pick automatically.
     tile_out: int = 0
     tile_rows: int = 0
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (the rebuild analogue of
+    the reference's torch_extensions build cache, SURVEY §5 checkpoint/
+    resume).  Safe to call multiple times."""
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "IA_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/ia_tpu/xla")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass

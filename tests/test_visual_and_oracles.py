@@ -1,0 +1,60 @@
+"""Visual regression round trip + oracle quality comparisons.
+
+The reference saves output PNGs per step (test.py:381-385) and relies on
+Pillow as ground truth; here we additionally show that this library is
+*closer* to Pillow than jax.image.resize's own antialiased resize.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import interpolate_antialiasing_tpu as ia
+from interpolate_antialiasing_tpu.utils.imageio import load_png, save_png
+from interpolate_antialiasing_tpu.utils.metrics import mae, max_abs_err
+from interpolate_antialiasing_tpu.utils.oracle import pil_resize
+
+
+def test_png_round_trip(tmp_path, test_image):
+    y = np.asarray(ia.resize(jnp.asarray(test_image), (96, 120)))
+    p = tmp_path / "out.png"
+    save_png(str(p), y)
+    back = load_png(str(p))
+    np.testing.assert_array_equal(back, y)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+def test_closer_to_pillow_than_jax_image(test_image, mode):
+    """jax.image.resize is scale-invariant antialiasing but not PIL-exact;
+    our MaxAbsE vs Pillow must be strictly better."""
+    ref = pil_resize(test_image, (196, 320), mode)
+    ours = np.asarray(ia.resize(jnp.asarray(test_image), (196, 320), method=mode))
+    method = {"bilinear": "bilinear", "bicubic": "bicubic"}[mode]
+    ji = jax.image.resize(
+        jnp.asarray(test_image, jnp.float32), (3, 196, 320), method, antialias=True
+    )
+    ji8 = np.clip(np.floor(np.asarray(ji) + 0.5), 0, 255).astype(np.uint8)
+    assert max_abs_err(ours, ref) <= max_abs_err(ji8, ref)
+    assert mae(ours, ref) <= mae(ji8, ref)
+    # and ours is within the hard gate
+    assert max_abs_err(ours, ref) <= 1.0
+
+
+def test_stock_torch_vs_us_vs_pillow(test_image):
+    """Reproduce the reference's motivating table (README.md:5-15): stock
+    non-AA torch is far from PIL; we are within 1."""
+    torch = pytest.importorskip("torch")
+    ref = pil_resize(test_image, (96, 120), "bilinear")
+    t = torch.nn.functional.interpolate(
+        torch.from_numpy(np.asarray(test_image, np.float32))[None],
+        size=(96, 120),
+        mode="bilinear",
+        align_corners=False,
+        antialias=False,
+    )[0].numpy()
+    t8 = np.clip(np.floor(t + 0.5), 0, 255).astype(np.uint8)
+    ours = np.asarray(ia.resize(jnp.asarray(test_image), (96, 120)))
+    assert max_abs_err(t8, ref) > 10  # aliasing artifacts (ref saw 151-172)
+    assert max_abs_err(ours, ref) <= 1.0
