@@ -15,7 +15,7 @@ Public surface:
   models                        — preprocessing pipelines built on resize
 """
 
-from .ops.resize import resize, interpolate, resize_plane
+from .ops.resize import resize, interpolate, resize_plane, resize_nd
 from .ops.api import (
     linear_forward,
     nearest_forward,
@@ -33,6 +33,7 @@ __all__ = [
     "resize",
     "interpolate",
     "resize_plane",
+    "resize_nd",
     "linear_forward",
     "nearest_forward",
     "cubic_forward",

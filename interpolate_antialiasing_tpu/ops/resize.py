@@ -33,7 +33,7 @@ from .resize_xla import (
     resize_axis_gather,
 )
 
-__all__ = ["resize", "resize_plane", "resize_plane_vjp", "interpolate"]
+__all__ = ["resize", "resize_plane", "resize_plane_vjp", "interpolate", "resize_nd"]
 
 
 # ---------------------------------------------------------------------------
@@ -335,3 +335,36 @@ def interpolate(
         backend=backend,
         scale_factors=sf,
     )
+
+
+def resize_nd(
+    x: jax.Array,
+    sizes: Sequence[int],
+    axes: Sequence[int],
+    method: str = "bilinear",
+    antialias: bool = True,
+    align_corners: bool = False,
+    backend: str | None = None,
+) -> jax.Array:
+    """Separable N-D resize: one banded pass per axis (innermost first).
+
+    Covers the reference's generic N-d driver surface
+    (``ti_upsample_generic_Nd_kernel_impl``, step_zero:530-649; 1-D/2-D/3-D
+    backward variants in aa_interpolation_backward_impl.h:58-150): e.g.
+    trilinear antialiased volume resize with ``axes=(-3, -2, -1)``.
+    Differentiable (each pass is a linear contraction).
+    """
+    if len(sizes) != len(axes):
+        raise ValueError("sizes and axes must have equal length")
+    backend = backend or default_backend()
+    if backend in ("auto", "pallas"):
+        backend = "xla"  # per-axis XLA passes; Pallas pipeline is 2-D-only
+    cdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    y = x.astype(cdtype)
+    order = sorted(zip(axes, sizes), key=lambda t: -(t[0] % x.ndim))
+    for ax, sz in order:  # innermost axis first, like the separable driver
+        spec = make_axis_spec(y.shape[ax], int(sz), method, antialias, align_corners)
+        y = _apply_axis(y, spec, ax % y.ndim, backend)
+    if x.dtype == jnp.uint8:
+        y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0).astype(jnp.uint8)
+    return y

@@ -85,3 +85,27 @@ def test_identity_resize(test_image):
     x = jnp.asarray(test_image, dtype=jnp.float32)
     y = ia.resize(x, x.shape[-2:])
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+def test_resize_nd_3d_volume(rng):
+    """Trilinear AA volume resize == per-axis dense application."""
+    import interpolate_antialiasing_tpu as ia
+    from interpolate_antialiasing_tpu.ops.weights import make_axis_spec
+    from interpolate_antialiasing_tpu.ops.resize_xla import resize_axis_dense
+
+    x = jnp.asarray(rng.random((2, 20, 24, 28)).astype(np.float32))
+    y = ia.resize_nd(x, (10, 12, 14), (-3, -2, -1))
+    ref = x
+    for ax, (i, o) in zip((3, 2, 1), ((28, 14), (24, 12), (20, 10))):
+        ref = resize_axis_dense(ref, make_axis_spec(i, o, "bilinear"), ax)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+
+def test_resize_nd_1d(rng):
+    import interpolate_antialiasing_tpu as ia
+
+    x = jnp.asarray(rng.random((4, 100)).astype(np.float32))
+    y = ia.resize_nd(x, (50,), (-1,))
+    assert y.shape == (4, 50)
+    # 1-D AA downsample preserves the mean (weights are a partition of unity)
+    assert abs(float(y.mean() - x.mean())) < 1e-2
