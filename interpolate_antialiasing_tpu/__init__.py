@@ -15,6 +15,20 @@ Public surface:
   models                        — preprocessing pipelines built on resize
 """
 
+import os as _os
+
+if _os.environ.get("IA_TPU_NO_COMPILE_CACHE", "0") in ("0", "", "false"):
+    # Persistent XLA compilation cache on by default: kernels here are
+    # shape-specialised (one compile per (in, out, mode, dtype) combo), so
+    # caching across processes is a large win — especially on remote-compile
+    # runtimes.  Opt out with IA_TPU_NO_COMPILE_CACHE=1.
+    from .config import enable_compilation_cache as _ecc
+
+    try:
+        _ecc()
+    except Exception:
+        pass
+
 from .ops.resize import resize, interpolate, resize_plane, resize_nd
 from .ops.api import (
     linear_forward,

@@ -119,11 +119,21 @@ def run_profile(args, img) -> None:
                                        backend=args.backend))
     f(xf).block_until_ready()  # compile outside the trace
     trace_dir = os.environ.get("IA_TPU_TRACE_DIR", "/tmp/ia_tpu_trace")
-    with jax.profiler.trace(trace_dir):
-        for _ in range(10):
-            y = f(xf)
-        y.block_until_ready()
-    print(f"trace written to {trace_dir} (tensorboard --logdir {trace_dir})")
+    try:
+        with jax.profiler.trace(trace_dir):
+            for _ in range(10):
+                y = f(xf)
+            y.block_until_ready()
+        print(f"trace written to {trace_dir} (tensorboard --logdir {trace_dir})")
+    except Exception as e:  # tunnelled TPUs may not expose the profiler
+        print(f"profiler trace unavailable on this runtime ({type(e).__name__}); "
+              f"falling back to timing summary")
+        from .utils.timing import time_jit_loop
+
+        r = time_jit_loop(lambda t: f(t), xf, iters=10)
+        px = args.batch * h * w
+        print(json.dumps({"ms": round(r.seconds * 1e3, 3),
+                          "out_Mpix_s": round(px / r.seconds / 1e6, 1)}))
 
 
 def run_backward(args, img) -> None:

@@ -58,3 +58,21 @@ def test_stock_torch_vs_us_vs_pillow(test_image):
     ours = np.asarray(ia.resize(jnp.asarray(test_image), (96, 120)))
     assert max_abs_err(t8, ref) > 10  # aliasing artifacts (ref saw 151-172)
     assert max_abs_err(ours, ref) <= 1.0
+
+
+def test_committed_goldens_match(test_image):
+    """Committed golden PNGs (data/) must match fresh output — the rebuild
+    of the reference's checked-in per-step output images."""
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "data")
+    for mode in ["bilinear", "bicubic", "box"]:
+        p = os.path.join(root, f"aa_{mode}_320x196.png")
+        if not os.path.exists(p):
+            pytest.skip("goldens not generated")
+        golden = load_png(p)
+        fresh = np.asarray(
+            ia.resize(jnp.asarray(test_image), (196, 320), method=mode)
+        )
+        # backends may differ by one uint8 rounding step across platforms
+        assert np.abs(golden.astype(int) - fresh.astype(int)).max() <= 1
