@@ -28,9 +28,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     import interpolate_antialiasing_tpu as ia
-    from interpolate_antialiasing_tpu.config import enable_compilation_cache
-
-    enable_compilation_cache()
     from interpolate_antialiasing_tpu.utils.imageio import synthetic_image
     from interpolate_antialiasing_tpu.utils.timing import time_jit_loop
 

@@ -25,9 +25,6 @@ def main():
     import jax.numpy as jnp
 
     import interpolate_antialiasing_tpu as ia
-    from interpolate_antialiasing_tpu.config import enable_compilation_cache
-
-    enable_compilation_cache()
     from interpolate_antialiasing_tpu.models import (
         ImageNetEvalPipeline,
         VideoDownscaler,

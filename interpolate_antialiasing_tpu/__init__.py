@@ -17,11 +17,10 @@ Public surface:
 
 import os as _os
 
-if _os.environ.get("IA_TPU_NO_COMPILE_CACHE", "0") in ("0", "", "false"):
-    # Persistent XLA compilation cache on by default: kernels here are
-    # shape-specialised (one compile per (in, out, mode, dtype) combo), so
-    # caching across processes is a large win — especially on remote-compile
-    # runtimes.  Opt out with IA_TPU_NO_COMPILE_CACHE=1.
+if _os.environ.get("IA_TPU_COMPILE_CACHE"):
+    # Opt-in persistent XLA compilation cache (kernels are shape-specialised,
+    # so cross-process caching helps); some remote-compile runtimes mishandle
+    # it, so it is not enabled by default.
     from .config import enable_compilation_cache as _ecc
 
     try:
