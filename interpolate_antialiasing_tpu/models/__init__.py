@@ -1,6 +1,8 @@
 from .preprocess import ImageNetEvalPipeline, VideoDownscaler, imagenet_eval_preprocess
 from .pyramid import aa_pyramid
 from .train import Trainer, init_params, forward, loss_fn, make_train_step
+from .batch import resize_mixed_batch, ShapeBucketResizer
+from .flax_module import AAResize
 
 __all__ = [
     "ImageNetEvalPipeline",
@@ -12,4 +14,7 @@ __all__ = [
     "forward",
     "loss_fn",
     "make_train_step",
+    "resize_mixed_batch",
+    "ShapeBucketResizer",
+    "AAResize",
 ]

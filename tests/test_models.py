@@ -64,3 +64,34 @@ def test_train_step_sharded(rng):
     np.testing.assert_allclose(float(loss), float(loss2), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_resize_mixed_batch(rng):
+    from interpolate_antialiasing_tpu.models import ShapeBucketResizer
+
+    images = [
+        (rng.random((3, 40 + 7 * i, 60 + 5 * (i % 3))) * 255).astype(np.uint8)
+        for i in range(6)
+    ]
+    r = ShapeBucketResizer((32, 32))
+    y = r(images)
+    assert y.shape == (6, 3, 32, 32) and y.dtype == jnp.uint8
+    # bucketed result == resizing each image individually
+    import interpolate_antialiasing_tpu as ia
+
+    for i, im in enumerate(images):
+        yi = ia.resize(jnp.asarray(im), (32, 32))
+        np.testing.assert_array_equal(np.asarray(y[i]), np.asarray(yi))
+    assert r.shapes_compiled == len({im.shape for im in images})
+
+
+def test_flax_module(rng):
+    pytest.importorskip("flax")
+    from interpolate_antialiasing_tpu.models import AAResize
+
+    m = AAResize(out_hw=(16, 16))
+    x = jnp.asarray(rng.random((2, 3, 33, 47)).astype(np.float32))
+    y = m.apply({}, x)
+    assert y.shape == (2, 3, 16, 16)
+    g = jax.grad(lambda t: float(0) + (m.apply({}, t) ** 2).sum())(x)
+    assert g.shape == x.shape
