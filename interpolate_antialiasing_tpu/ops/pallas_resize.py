@@ -774,6 +774,175 @@ def resize2d_pallas(
     return out.reshape(*lead, spec_h.out_size, spec_w.out_size)
 
 
+# ---------------------------------------------------------------------------
+# Whole-image single-kernel pipeline: one pallas_call does BOTH separable
+# passes per image, holding the intermediate in VMEM scratch.  HBM traffic is
+# exactly input-bytes + output-bytes (+ the band, DMA'd once): no host pad, no
+# intermediate round-trip, no output slice.  This is the speed-of-light
+# formulation for images that fit VMEM (the reference's headline 906x438
+# config and everything near it).
+#
+# The trick that removes the host pad: band-window starts are Python
+# constants clamped into the *unpadded* input (weights.banded_tiles with
+# align=1, in_cap=in_size), so every slice the kernel takes is a static
+# in-bounds slice of an exact-shaped block — Mosaic masks the unaligned
+# edges, and rows/cols it pads internally are never read.
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _tiles_exact_cached(spec: AxisSpec) -> BandedTiles:
+    return banded_tiles(spec, tile=_LANE, dtype=np.float32, align=1,
+                        in_cap=spec.in_size)
+
+
+def _onekernel_vmem(x_dtype, out_dtype, H, W, OH, OW, btw, bth, bsz) -> int:
+    ib = jnp.dtype(x_dtype).itemsize
+    ob = jnp.dtype(out_dtype).itemsize
+    band_bytes = (btw.n_tiles * btw.k_in + bth.n_tiles * bth.k_in) * _LANE * 4
+    per_img = (
+        _round_up(H, 32) * _round_up(W, _LANE) * ib * 2  # in block, 2x buffered
+        + _round_up(H, 8) * btw.out_padded * 4  # scratch intermediate
+        + _round_up(OH, 32) * _round_up(OW, _LANE) * ob * 2  # out block
+    )
+    return bsz * per_img + band_bytes
+
+
+def resize2d_onekernel_supported(
+    x: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec, out_dtype=None
+) -> bool:
+    if x.dtype not in (jnp.float32, jnp.bfloat16, jnp.uint8):
+        return False
+    if x.ndim < 2:
+        return False
+    out_dtype = out_dtype if out_dtype is not None else (
+        jnp.float32 if x.dtype == jnp.uint8 else x.dtype
+    )
+    H, W = spec_h.in_size, spec_w.in_size
+    btw = _tiles_exact_cached(spec_w)
+    bth = _tiles_exact_cached(spec_h)
+    if btw.k_in > W or bth.k_in > H:
+        return False
+    if btw.n_tiles > _MAX_UNROLL_TILES or bth.n_tiles > _MAX_UNROLL_TILES:
+        return False
+    return (
+        _onekernel_vmem(x.dtype, out_dtype, H, W, spec_h.out_size,
+                        spec_w.out_size, btw, bth, 1)
+        <= _VMEM_BUDGET
+    )
+
+
+def _kernel_2pass(
+    x_ref, bandw_ref, bandh_ref, o_ref, scratch,
+    *, bsz, H, OH, OW, starts_w, k_in_w, starts_h, k_in_h,
+    precision, out_dtype, in_exact,
+):
+    for bi in range(bsz):
+        # pass 1: contract W for all H rows of image bi -> scratch
+        for t, s in enumerate(starts_w):
+            win = _widen(x_ref[bi, :, s : s + k_in_w])  # (H, k_in_w)
+            y = _mxu_dot(
+                win, bandw_ref[t], (((1,), (0,)), ((), ())), precision, in_exact
+            )
+            scratch[bi, :, t * _LANE : (t + 1) * _LANE] = y
+        # pass 2: contract H -> output rows (partial final tile is a static
+        # masked store; o_ref is exact-shaped)
+        for t, s in enumerate(starts_h):
+            win = scratch[bi, s : s + k_in_h, :]  # (k_in_h, OWP)
+            y = _mxu_dot(bandh_ref[t], win, (((0,), (0,)), ((), ())), precision)
+            rows = min(_LANE, OH - t * _LANE)
+            _store(
+                o_ref,
+                (bi, slice(t * _LANE, t * _LANE + rows), slice(0, OW)),
+                y[:rows, :OW],
+                out_dtype,
+            )
+
+
+def resize2d_onekernel(
+    x: jax.Array,
+    spec_h: AxisSpec,
+    spec_w: AxisSpec,
+    out_dtype=None,
+    precision="split",
+) -> jax.Array:
+    """Separable 2-D resize of the trailing [H, W] axes in ONE pallas_call.
+
+    Grid is over images only; each grid step DMAs one exact-shaped
+    [bsz, H, W] block in, runs the W pass into a VMEM f32 scratch, the H
+    pass out of it, and stores the exact-shaped [bsz, OH, OW] result
+    (uint8 round+clip in-register when requested).  The rebuild's answer
+    to the reference's whole optimisation journey (its best CPU kernel
+    still paid two full passes over HBM-resident intermediates;
+    step_two_dot_two/aa_interpolation_impl.h:655-679)."""
+    if out_dtype is None:
+        out_dtype = jnp.float32 if x.dtype == jnp.uint8 else x.dtype
+    out_dtype = jnp.dtype(out_dtype)
+    lead = x.shape[:-2]
+    B = int(np.prod(lead)) if lead else 1
+    H, W = x.shape[-2], x.shape[-1]
+    OH, OW = spec_h.out_size, spec_w.out_size
+    btw = _tiles_exact_cached(spec_w)
+    bth = _tiles_exact_cached(spec_h)
+
+    # Largest image-count per grid step that fits VMEM (cap 8), preferring
+    # divisors of B so the grid is exact.
+    bsz = 1
+    for cand in range(min(8, B), 0, -1):
+        if B % cand == 0 and _onekernel_vmem(
+            x.dtype, out_dtype, H, W, OH, OW, btw, bth, cand
+        ) <= _VMEM_BUDGET:
+            bsz = cand
+            break
+
+    x3 = x.reshape(B, H, W)
+    kern = functools.partial(
+        _kernel_2pass,
+        bsz=bsz,
+        H=H,
+        OH=OH,
+        OW=OW,
+        starts_w=tuple(int(s) for s in btw.starts),
+        k_in_w=btw.k_in,
+        starts_h=tuple(int(s) for s in bth.starts),
+        k_in_h=bth.k_in,
+        precision=precision,
+        out_dtype=out_dtype,
+        in_exact=x.dtype == jnp.uint8,
+    )
+    ib = x.dtype.itemsize
+    y = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, OH, OW), out_dtype),
+        grid=(B // bsz,),
+        in_specs=[
+            pl.BlockSpec((bsz, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (btw.n_tiles, btw.k_in, _LANE),
+                lambda b: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bth.n_tiles, bth.k_in, _LANE),
+                lambda b: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bsz, OH, OW), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((bsz, H, btw.out_padded), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * btw.k_in * btw.out_padded
+            + 2 * B * btw.out_padded * bth.k_in * bth.out_padded,
+            bytes_accessed=B * (H * W * ib + OH * OW * out_dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x3, jnp.asarray(btw.band), jnp.asarray(bth.band))
+    return y.reshape(*lead, OH, OW)
+
+
 def transpose_supported(g: jax.Array, spec: AxisSpec, axis: int) -> bool:
     if g.dtype not in (jnp.float32, jnp.bfloat16):
         return False

@@ -103,8 +103,17 @@ def _resize_plane_impl(
         and w_axis % x.ndim == x.ndim - 1
         and (backend == "pallas" or spec_h.in_size * spec_w.in_size >= (1 << 21))
     ):
-        from .pallas_resize import resize2d_pallas, resize2d_supported
+        from .pallas_resize import (
+            resize2d_onekernel,
+            resize2d_onekernel_supported,
+            resize2d_pallas,
+            resize2d_supported,
+        )
 
+        if resize2d_onekernel_supported(x, spec_h, spec_w):
+            if debug_enabled():
+                print("[ia-tpu] single-kernel 2-pass pipeline (float)")
+            return resize2d_onekernel(x, spec_h, spec_w, out_dtype=x.dtype)
         if resize2d_supported(x, spec_h, spec_w):
             if debug_enabled():
                 print("[ia-tpu] fused 2-pass pipeline (float)")
@@ -248,6 +257,8 @@ def resize(
         from .pallas_resize import (
             pallas_supported,
             resize_axis_pallas,
+            resize2d_onekernel,
+            resize2d_onekernel_supported,
             resize2d_pallas,
             resize2d_supported,
         )
@@ -256,22 +267,29 @@ def resize(
         spec_h = make_axis_spec(x.shape[h_axis], oh, method, antialias, align_corners)
         trailing_hw = h_axis == x.ndim - 2 and w_axis == x.ndim - 1
         channels_last = h_axis == x.ndim - 3 and w_axis == x.ndim - 2
+        odt = jnp.dtype(out_dtype_resolved)
+        if trailing_hw and resize2d_onekernel_supported(x, spec_h, spec_w, odt):
+            if debug_enabled():
+                print("[ia-tpu] uint8 single-kernel 2-pass pipeline")
+            return resize2d_onekernel(x, spec_h, spec_w, out_dtype=odt)
         if trailing_hw and resize2d_supported(x, spec_h, spec_w):
             if debug_enabled():
                 print("[ia-tpu] uint8 fused 2-pass pipeline")
-            return resize2d_pallas(
-                x, spec_h, spec_w, out_dtype=jnp.dtype(out_dtype_resolved)
-            )
+            return resize2d_pallas(x, spec_h, spec_w, out_dtype=odt)
         if channels_last:
             # A C-sized lane dimension wastes 125/128 lanes in the kernels;
             # two cheap transposes around the NCHW fused pipeline win by >10x.
             xt = jnp.moveaxis(x, -1, -3)
+            if resize2d_onekernel_supported(xt, spec_h, spec_w, odt):
+                if debug_enabled():
+                    print("[ia-tpu] uint8 single-kernel pipeline via NCHW transpose")
+                return jnp.moveaxis(
+                    resize2d_onekernel(xt, spec_h, spec_w, out_dtype=odt), -3, -1
+                )
             if resize2d_supported(xt, spec_h, spec_w):
                 if debug_enabled():
                     print("[ia-tpu] uint8 fused pipeline via NCHW transpose")
-                yt = resize2d_pallas(
-                    xt, spec_h, spec_w, out_dtype=jnp.dtype(out_dtype_resolved)
-                )
+                yt = resize2d_pallas(xt, spec_h, spec_w, out_dtype=odt)
                 return jnp.moveaxis(yt, -3, -1)
         if pallas_supported(x, spec_w, w_axis):
             t = resize_axis_pallas(x, spec_w, w_axis, out_dtype=jnp.float32)

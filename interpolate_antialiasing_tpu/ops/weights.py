@@ -297,6 +297,7 @@ def banded_tiles(
     dtype=np.float32,
     align: int = 8,
     table_dtype=np.float64,
+    in_cap: int | None = None,
 ) -> BandedTiles:
     """Build the per-tile compact band.
 
@@ -308,12 +309,20 @@ def banded_tiles(
     ``round_up(in_size, align)`` so every window stays in bounds.  Weights
     are placed relative to the aligned start, so alignment is exact, not
     approximate.
+
+    ``in_cap`` overrides the input length windows must stay inside.  With
+    ``align=1, in_cap=in_size`` every window lies within the *unpadded*
+    input (starts are clamped; weights are shifted to compensate), which is
+    what lets the whole-image single-kernel pipeline read exact-shaped
+    blocks with no host padding.  Out-of-range taps always carry zero
+    weight, so clamping never drops signal.
     """
     xmin, size, w = compute_tables(spec, dtype=table_dtype)
     out = spec.out_size
     n_tiles = -(-out // tile)
     out_padded = n_tiles * tile
-    in_cap = _round_up(spec.in_size, align)
+    if in_cap is None:
+        in_cap = _round_up(spec.in_size, align)
 
     # Aligned per-tile window starts, then the widest span any tile needs.
     raw_starts = []

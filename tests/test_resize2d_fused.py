@@ -75,3 +75,62 @@ def test_fused_synth_pipeline(rng):
     b = resize2d_pallas(x, spec_h, spec_w, out_dtype=jnp.uint8, fused=True)
     # in-kernel weight synthesis may differ by 1 rounding step
     assert float(jnp.max(jnp.abs(a.astype(jnp.int32) - b.astype(jnp.int32)))) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Whole-image single-kernel pipeline (resize2d_onekernel)
+# ---------------------------------------------------------------------------
+
+from interpolate_antialiasing_tpu.ops.pallas_resize import (  # noqa: E402
+    resize2d_onekernel,
+    resize2d_onekernel_supported,
+)
+
+ONEK_CASES = [
+    ((2, 3, 438, 906), (196, 320), "bilinear", jnp.uint8, jnp.uint8),
+    ((2, 3, 438, 906), (196, 320), "bicubic", jnp.uint8, jnp.float32),
+    ((1, 3, 100, 150), (250, 75), "bilinear", jnp.float32, jnp.float32),
+    ((2, 130, 140), (64, 72), "lanczos3", jnp.float32, jnp.float32),
+    ((5, 97, 131), (40, 1200), "bilinear", jnp.float32, jnp.float32),
+    ((2, 3, 96, 128), (96, 128), "box", jnp.uint8, jnp.uint8),
+    ((1, 64, 64), (130, 260), "bicubic", jnp.uint8, jnp.uint8),
+]
+
+
+@pytest.mark.parametrize("shape,ohw,mode,idt,odt", ONEK_CASES)
+def test_onekernel_matches_dense(rng, shape, ohw, mode, idt, odt):
+    xf = rng.random(shape).astype(np.float32) * (255.0 if idt == jnp.uint8 else 1.0)
+    x = jnp.asarray(xf).astype(idt)
+    spec_h = make_axis_spec(shape[-2], ohw[0], mode)
+    spec_w = make_axis_spec(shape[-1], ohw[1], mode)
+    assert resize2d_onekernel_supported(x, spec_h, spec_w)
+    y = resize2d_onekernel(x, spec_h, spec_w, out_dtype=odt)
+    assert y.shape == (*shape[:-2], *ohw) and y.dtype == odt
+    ref = _dense2d(x.astype(jnp.float32), spec_h, spec_w)
+    if odt == jnp.uint8:
+        ref = jnp.clip(jnp.floor(ref + 0.5), 0, 255)
+        err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref)))
+        assert err <= 1.0, err
+    else:
+        err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref)))
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+        assert err <= (255.0 if idt == jnp.uint8 else 1.0) * 2e-4 + 1e-3 * scale, err
+
+
+def test_onekernel_rejects_oversized(rng):
+    # 4K frames exceed VMEM -> must report unsupported (router falls back)
+    x = jnp.zeros((1, 2160, 3840), jnp.float32)
+    spec_h = make_axis_spec(2160, 1080, "bilinear")
+    spec_w = make_axis_spec(3840, 1920, "bilinear")
+    assert not resize2d_onekernel_supported(x, spec_h, spec_w)
+
+
+def test_onekernel_odd_batch(rng):
+    # batch not divisible by the preferred block count (prime B)
+    x = jnp.asarray((rng.random((7, 50, 60)) * 255).astype(np.uint8))
+    spec_h = make_axis_spec(50, 30, "bilinear")
+    spec_w = make_axis_spec(60, 40, "bilinear")
+    y = resize2d_onekernel(x, spec_h, spec_w, out_dtype=jnp.uint8)
+    ref = _dense2d(x.astype(jnp.float32), spec_h, spec_w)
+    ref = jnp.clip(jnp.floor(ref + 0.5), 0, 255)
+    assert float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref))) <= 1.0
