@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image", default=None, help="input PNG (default: synthetic 906x438)")
     p.add_argument("--save", default=None, help="save resized PNG here")
     p.add_argument("--debug", action="store_true", help="print kernel dispatch info")
+    p.add_argument("--inspect", action="store_true",
+                   help="print band geometry / cost report (no execution)")
+    p.add_argument("--dump-hlo", default=None, metavar="FILE",
+                   help="write optimized HLO for the config to FILE "
+                        "(the reference's godbolt probe, TPU edition)")
     return p
 
 
@@ -156,12 +161,38 @@ def run_backward(args, img) -> None:
     print("finite-difference check passed")
 
 
+def run_inspect(args, img) -> None:
+    """Band geometry / cost report + optional HLO dump (reference N7)."""
+    import jax.numpy as jnp
+
+    from .utils.inspect import compiled_text, kernel_report
+
+    w, h = tuple(args.size) if args.size else (320, 196)
+    shape = (args.batch, *img.shape)
+    rep = kernel_report(shape, (h, w), mode=args.mode)
+    print(rep)
+    if args.dump_hlo:
+        from .ops.resize import resize
+
+        x = jnp.asarray(
+            __import__("numpy").stack([img] * args.batch)
+        )
+        txt = compiled_text(
+            lambda t: resize(t, (h, w), method=args.mode, backend=args.backend), x
+        )
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print(f"optimized HLO ({len(txt)} chars) written to {args.dump_hlo}")
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     if args.debug:
         os.environ["IA_TPU_DEBUG"] = "1"
     img = _load_image(args.image)
-    if args.bench:
+    if args.inspect or args.dump_hlo:
+        run_inspect(args, img)
+    elif args.bench:
         run_bench(args, img)
     elif args.profile:
         run_profile(args, img)

@@ -1,0 +1,132 @@
+"""Compiler/kernel inspection — the TPU analogue of the reference's
+compiler-explorer probe (godbolt/step_zero.cpp:1-119, which extracted the
+inner loop and checked gcc's vectorisation report with -fopt-info-vec-all)
+and of its VERBOSE stride/dispatch tracing (step_zero/aa_interpolation_impl.h
+TI_SHOW_* ifdefs).
+
+On TPU the equivalent questions are: what did this shape lower to
+(StableHLO), what did XLA/Mosaic make of it (optimized HLO), and what does
+the banded formulation cost (band geometry, MAC counts, HBM bytes)?
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["lower_text", "compiled_text", "kernel_report", "KernelReport"]
+
+
+def lower_text(fn, *args) -> str:
+    """StableHLO of ``fn`` traced at the abstract shapes of ``args``."""
+    return jax.jit(fn).lower(*args).as_text()
+
+
+def compiled_text(fn, *args) -> str:
+    """Optimized (post-XLA) HLO — what actually runs on the chip."""
+    return jax.jit(fn).lower(*args).compile().as_text()
+
+
+@dataclasses.dataclass
+class KernelReport:
+    """Static cost/geometry report for one resize configuration."""
+
+    in_shape: tuple
+    out_hw: tuple
+    mode: str
+    dtype: str
+    route: str  # which kernel the dispatcher picks
+    axes: list  # per-axis dicts: ntaps, k_in, n_tiles, density, MMACs
+    total_mmacs: float  # MACs in millions, single-precision-pass count
+    hbm_mbytes: float  # essential input+output traffic
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    def __str__(self) -> str:  # human-readable table
+        lines = [
+            f"resize {self.in_shape} -> {self.out_hw} mode={self.mode} "
+            f"dtype={self.dtype} route={self.route}",
+            f"  essential HBM traffic: {self.hbm_mbytes:.2f} MB; "
+            f"MACs/plane (1 pass): {self.total_mmacs:.1f} M",
+        ]
+        for a in self.axes:
+            lines.append(
+                f"  axis {a['axis']}: {a['in_size']}->{a['out_size']} "
+                f"ntaps={a['ntaps']} k_in={a['k_in']} n_tiles={a['n_tiles']} "
+                f"band density={a['density']:.3f} MACs={a['mmacs']:.1f}M"
+            )
+        return "\n".join(lines)
+
+
+def kernel_report(
+    in_shape,
+    out_hw,
+    mode: str = "bilinear",
+    dtype=jnp.uint8,
+    antialias: bool = True,
+) -> KernelReport:
+    """Report band geometry and cost for a resize config without running it.
+
+    Mirrors what the reference's VERBOSE build printed per call (which loop
+    specialisation fired, the operand strides) in banded-MXU terms: per-axis
+    tap count, static window ``k_in``, tile count, band density (fraction of
+    MXU MACs that touch nonzero weights), and MAC/byte totals.
+    """
+    from ..ops.weights import make_axis_spec, banded_tiles
+    from ..ops.pallas_resize import _tiles_exact_cached, resize2d_onekernel_supported
+
+    in_shape = tuple(int(s) for s in in_shape)
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    H, W = in_shape[-2], in_shape[-1]
+    lead = int(np.prod(in_shape[:-2])) if len(in_shape) > 2 else 1
+    dt = jnp.dtype(dtype)
+    spec_h = make_axis_spec(H, oh, mode, antialias)
+    spec_w = make_axis_spec(W, ow, mode, antialias)
+
+    class _Fake:
+        shape = in_shape
+        ndim = len(in_shape)
+        dtype = dt
+
+    try:
+        onek = resize2d_onekernel_supported(_Fake(), spec_h, spec_w)
+    except Exception:
+        onek = False
+    route = "single-kernel (resize2d_onekernel)" if onek else "streamed pipeline / XLA"
+
+    axes = []
+    total = 0.0
+    for name, spec, rows in (("W", spec_w, H), ("H", spec_h, spec_w.out_size)):
+        bt = _tiles_exact_cached(spec) if onek else banded_tiles(spec)
+        nz = float((bt.band != 0).sum())
+        density = nz / bt.band.size if bt.band.size else 0.0
+        mmacs = rows * bt.k_in * bt.out_padded / 1e6
+        axes.append(
+            dict(
+                axis=name,
+                in_size=spec.in_size,
+                out_size=spec.out_size,
+                ntaps=spec.ntaps,
+                k_in=bt.k_in,
+                n_tiles=bt.n_tiles,
+                density=density,
+                mmacs=mmacs,
+            )
+        )
+        total += mmacs
+    hbm = lead * (H * W * dt.itemsize + oh * ow * dt.itemsize) / 1e6
+    return KernelReport(
+        in_shape=in_shape,
+        out_hw=(oh, ow),
+        mode=mode,
+        dtype=str(dt),
+        route=route,
+        axes=axes,
+        total_mmacs=total,
+        hbm_mbytes=hbm,
+    )

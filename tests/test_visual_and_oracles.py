@@ -76,3 +76,39 @@ def test_committed_goldens_match(test_image):
         )
         # backends may differ by one uint8 rounding step across platforms
         assert np.abs(golden.astype(int) - fresh.astype(int)).max() <= 1
+
+
+def test_kernel_report_and_hlo(tmp_path):
+    """Inspection utility (reference godbolt probe, N7): report + HLO dump."""
+    import jax.numpy as jnp
+
+    from interpolate_antialiasing_tpu.utils.inspect import (
+        compiled_text,
+        kernel_report,
+        lower_text,
+    )
+
+    rep = kernel_report((4, 3, 438, 906), (196, 320), mode="bilinear")
+    s = str(rep)
+    assert "route=" in s and "band density" in s
+    assert rep.axes[0]["in_size"] == 906 and rep.axes[1]["out_size"] == 196
+    assert rep.total_mmacs > 0 and rep.hbm_mbytes > 0
+    import json
+
+    json.loads(rep.to_json())  # serialisable
+
+    import interpolate_antialiasing_tpu as ia
+
+    x = jnp.zeros((1, 3, 64, 64), jnp.float32)
+    lo = lower_text(lambda t: ia.resize(t, (32, 32)), x)
+    assert "stablehlo" in lo or "func" in lo
+    hi = compiled_text(lambda t: ia.resize(t, (32, 32)), x)
+    assert len(hi) > 100
+
+
+def test_cli_inspect(capsys):
+    from interpolate_antialiasing_tpu.cli import main
+
+    main(["--inspect", "--mode", "bicubic", "--size", "120", "96"])
+    out = capsys.readouterr().out
+    assert "route=" in out and "ntaps=" in out
