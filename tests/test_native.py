@@ -36,3 +36,46 @@ def test_native_non_aa(mode):
     xm_n, sz_n, w_n = compute_tables_native(50, 80, mode, False, False)
     np.testing.assert_array_equal(xm_n, xm)
     np.testing.assert_allclose(w_n, w, rtol=0, atol=1e-14)
+
+
+def test_profile_binary_selftest(tmp_path):
+    """Standalone native profiling binary (reference profiling/main.cpp):
+    builds, runs, and its resize matches the numpy oracle bit-for-bit-ish."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    src = Path(__file__).resolve().parent.parent / "csrc"
+    cc = shutil.which("c++") or shutil.which("g++")
+    if cc is None:
+        pytest.skip("no C++ compiler")
+    exe = tmp_path / "aa_profile"
+    subprocess.run(
+        [cc, "-O2", "-o", str(exe), str(src / "profile_main.cpp"),
+         str(src / "aa_tables.cpp")],
+        check=True, capture_output=True, timeout=180,
+    )
+    out = subprocess.run([str(exe), "--selftest"], check=True,
+                         capture_output=True, text=True, timeout=60).stdout
+    mean = float(out.split("mean=")[1].split()[0])
+
+    # same ramp image through the Python oracle
+    import numpy as np
+
+    from interpolate_antialiasing_tpu.ops.weights import dense_matrix, make_axis_spec
+
+    C, H, W, OH, OW = 3, 57, 83, 24, 31
+    x = (np.arange(C * H * W, dtype=np.int64) * 7919 % 256).astype(np.float64)
+    x = x.reshape(C, H, W)
+    Wh = dense_matrix(make_axis_spec(H, OH, "bilinear"), dtype=np.float64)
+    Ww = dense_matrix(make_axis_spec(W, OW, "bilinear"), dtype=np.float64)
+    ref = np.einsum("oi,cij,jk->cok", Wh, x, Ww.T)
+    assert abs(mean - ref.mean()) < 1e-9
+
+    # bench mode emits one JSON line (same contract as benchmarks/run_all.py)
+    import json
+
+    line = subprocess.run([str(exe), "64", "96", "32", "48", "3"], check=True,
+                          capture_output=True, text=True, timeout=60).stdout
+    rec = json.loads(line)
+    assert rec["out_Mpix_s"] > 0 and rec["ntaps_w"] >= 3
