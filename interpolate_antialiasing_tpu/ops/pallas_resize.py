@@ -85,26 +85,28 @@ def _store(o_ref, idx, val_f32, out_dtype):
         o_ref[idx] = val_f32.astype(out_dtype)
 
 
-def _mxu_dot(a, b, dims, precision, a_exact_bf16=False):
+def _mxu_dot(a, b, dims, precision, a_exact_bf16=False, b_exact_bf16=False):
     """Banded contraction with a precision/speed dial.
 
     ``precision='split'`` decomposes the f32 operands into bf16 hi+lo parts
-    and runs 2-3 native-rate bf16 MXU passes with f32 accumulation:
-    ``a@b ~= a_hi@b_hi + a_hi@b_lo (+ a_lo@b_hi)``, dropping the lo*lo term
-    (~2^-16 relative).  When ``a`` came from uint8 pixels it is *exact* in
-    bf16 (integers 0..255), so the a_lo term vanishes and 2 passes suffice —
-    ~3x the FLOP rate of Precision.HIGHEST with ~f32-quality results
-    (abs error ~0.01 on the 0..255 scale; verified in tests).  Weights are
-    always split (their bf16 rounding alone would cost ~0.4%).
+    and runs 1-3 native-rate bf16 MXU passes with f32 accumulation:
+    ``a@b ~= a_hi@b_hi (+ a_hi@b_lo) (+ a_lo@b_hi)``, dropping the lo*lo term
+    (~2^-16 relative).  An operand that came from uint8 pixels or was already
+    bfloat16 is *exact* in bf16, so its lo term vanishes and that pass is
+    skipped — pass the matching ``*_exact_bf16`` flag.  The weight band is
+    always split (its bf16 rounding alone would cost ~0.4%): in the
+    last-axis kernels the band is ``b``, in the mid-axis kernels it is
+    ``a``, so callers set the flag for whichever operand holds pixels.
     """
     if precision == "split":
         a_hi = a.astype(jnp.bfloat16)
         b_hi = b.astype(jnp.bfloat16)
-        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         y = jax.lax.dot_general(a_hi, b_hi, dims, preferred_element_type=jnp.float32)
-        y = y + jax.lax.dot_general(
-            a_hi, b_lo, dims, preferred_element_type=jnp.float32
-        )
+        if not b_exact_bf16:
+            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            y = y + jax.lax.dot_general(
+                a_hi, b_lo, dims, preferred_element_type=jnp.float32
+            )
         if not a_exact_bf16:
             a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             y = y + jax.lax.dot_general(
@@ -141,7 +143,8 @@ def _kernel_mid(
     j = pl.program_id(2)
     s = pl.multiple_of(starts_ref[j], in_align)
     win = _widen(x_ref[0, pl.ds(s, k_in), :])
-    y = _mxu_dot(band_ref[j], win, (((0,), (0,)), ((), ())), precision)
+    y = _mxu_dot(band_ref[j], win, (((0,), (0,)), ((), ())), precision,
+                 b_exact_bf16=in_exact)
     _store(o_ref, (0, slice(None), slice(None)), y, out_dtype)
 
 
@@ -192,7 +195,8 @@ def _kernel_mid_fused(
     s = pl.multiple_of(starts_ref[j], in_align)
     band = _synth_band(spec, s, j, tile, k_in)
     win = _widen(x_ref[0, pl.ds(s, k_in), :])
-    y = _mxu_dot(band, win, (((0,), (0,)), ((), ())), precision)
+    y = _mxu_dot(band, win, (((0,), (0,)), ((), ())), precision,
+                 b_exact_bf16=in_exact)
     _store(o_ref, (0, slice(None), slice(None)), y, out_dtype)
 
 
@@ -229,7 +233,8 @@ def _kernel_mid_unrolled(
             band_t = band_ref[t]
         for bi in range(bt):
             win = _widen(x_ref[bi, s : s + k_in, :])
-            y = _mxu_dot(band_t, win, (((0,), (0,)), ((), ())), precision)
+            y = _mxu_dot(band_t, win, (((0,), (0,)), ((), ())), precision,
+                         b_exact_bf16=in_exact)
             _store(
                 o_ref, (bi, slice(t * tile, (t + 1) * tile), slice(None)), y, out_dtype
             )
@@ -259,7 +264,7 @@ def _transpose_tiles_cached(spec: AxisSpec, tile: int, align: int) -> BandedTile
 def _pass_last(x2, spec, fused, precision, out_dtype, tiles=None, out_size=None):
     """x2: [M, IN] (u8/bf16/f32) -> [M, OUT] out_dtype."""
     M, IN = x2.shape
-    in_exact = x2.dtype == jnp.uint8
+    in_exact = x2.dtype in (jnp.uint8, jnp.bfloat16)  # exact in bf16
     out_size = out_size if out_size is not None else spec.out_size
     bt = tiles if tiles is not None else _tiles_cached(spec, _LANE, _LANE)
     in_pad = max(_round_up(IN, _LANE), bt.k_in)
@@ -385,7 +390,7 @@ def _pass_last(x2, spec, fused, precision, out_dtype, tiles=None, out_size=None)
 def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
     """x3: [B, IN, W] (u8/bf16/f32) -> [B, OUT, W] out_dtype (axis-1 pass)."""
     B, IN, W = x3.shape
-    in_exact = x3.dtype == jnp.uint8
+    in_exact = x3.dtype in (jnp.uint8, jnp.bfloat16)  # exact in bf16
     out_size = out_size if out_size is not None else spec.out_size
     in_align = _sublane(x3.dtype)  # sublane-dim windows
     bt = tiles if tiles is not None else _tiles_cached(spec, _LANE, in_align)
@@ -681,7 +686,7 @@ def resize2d_pallas(
         tile=_LANE,
         precision=precision,
         out_dtype=inter_dtype,
-        in_exact=x.dtype == jnp.uint8,
+        in_exact=x.dtype in (jnp.uint8, jnp.bfloat16),
         fused_spec=spec_w if fused else None,
     )
     in_specs = [pl.BlockSpec((mt, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)]
@@ -734,7 +739,7 @@ def resize2d_pallas(
         bt=bsz,
         precision=precision,
         out_dtype=out_dtype,
-        in_exact=False,
+        in_exact=jnp.dtype(inter_dtype) == jnp.bfloat16,  # bf16 inter is exact
         fused_spec=spec_h if fused else None,
     )
     in_specs2 = [
@@ -908,7 +913,7 @@ def resize2d_onekernel(
         k_in_h=bth.k_in,
         precision=precision,
         out_dtype=out_dtype,
-        in_exact=x.dtype == jnp.uint8,
+        in_exact=x.dtype in (jnp.uint8, jnp.bfloat16),
     )
     ib = x.dtype.itemsize
     y = pl.pallas_call(

@@ -117,7 +117,13 @@ def _resize_plane_impl(
         if resize2d_supported(x, spec_h, spec_w):
             if debug_enabled():
                 print("[ia-tpu] fused 2-pass pipeline (float)")
-            return resize2d_pallas(x, spec_h, spec_w, out_dtype=x.dtype)
+            # bf16 video: a bf16 intermediate halves inter-pass HBM traffic
+            # and is exact as a bf16 MXU operand; its rounding (2^-9 rel) is
+            # below the bf16 output quantisation (2^-8).
+            inter = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+            return resize2d_pallas(
+                x, spec_h, spec_w, out_dtype=x.dtype, inter_dtype=inter
+            )
     # Same pass order as the reference's separable driver: innermost (W) dim
     # first, then H (step_two_dot_two/aa_interpolation_impl.h:655-679).
     y = _apply_axis(x, spec_w, w_axis, backend)
