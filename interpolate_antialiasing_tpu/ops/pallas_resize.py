@@ -948,6 +948,192 @@ def resize2d_onekernel(
     return y.reshape(*lead, OH, OW)
 
 
+# ---------------------------------------------------------------------------
+# Streamed single-kernel pipeline for images too tall for VMEM: grid over
+# (image, output-row tile); each step manually DMAs the halo'd input row
+# window [start_h[t], start_h[t]+k_rows) from HBM into a double-buffered VMEM
+# scratch (next window prefetched while the current one computes), runs BOTH
+# separable passes on it, and stores one 128-row output tile.  HBM traffic is
+# input-bytes x (1 + halo overlap, ~2-3%) + output-bytes — no host pad, no
+# intermediate round-trip.  This is the Pallas double-buffering pattern from
+# the TPU guide applied to the reference's separable driver.
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _tiles_stream_cached(spec: AxisSpec) -> BandedTiles:
+    # Dynamic DMA row offsets must be sublane-aligned; in_cap=in_size keeps
+    # windows inside the unpadded input (requires in_size % 8 == 0, checked
+    # by the caller, so the clamped start H - k_in stays a multiple of 8).
+    return banded_tiles(spec, tile=_LANE, dtype=np.float32, align=8,
+                        in_cap=spec.in_size)
+
+
+def _streamed_vmem(x_dtype, out_dtype, inter_dtype, W, OW, btw, bth) -> int:
+    ib = jnp.dtype(x_dtype).itemsize
+    k_rows = bth.k_in
+    band_bytes = (btw.n_tiles * btw.k_in + bth.n_tiles * bth.k_in) * _LANE * 4
+    win = 2 * k_rows * _round_up(W, _LANE) * ib
+    inter = k_rows * btw.out_padded * jnp.dtype(inter_dtype).itemsize
+    outb = 2 * _LANE * _round_up(OW, _LANE) * jnp.dtype(out_dtype).itemsize
+    return band_bytes + win + inter + outb
+
+
+def resize2d_streamed_supported(
+    x: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec, out_dtype=None,
+    inter_dtype=jnp.float32,
+) -> bool:
+    if x.dtype not in (jnp.float32, jnp.bfloat16, jnp.uint8):
+        return False
+    if x.ndim < 2:
+        return False
+    H, W = spec_h.in_size, spec_w.in_size
+    if H % 8 != 0:
+        return False  # DMA row starts must stay sublane-aligned after clamping
+    if W % _LANE != 0:
+        return False  # HBM->VMEM DMA slices need a 128-aligned lane extent
+    out_dtype = out_dtype if out_dtype is not None else (
+        jnp.float32 if x.dtype == jnp.uint8 else x.dtype
+    )
+    btw = _tiles_exact_cached(spec_w)
+    bth = _tiles_stream_cached(spec_h)
+    if btw.k_in > W or bth.k_in > H:
+        return False
+    if btw.n_tiles > _MAX_UNROLL_TILES:
+        return False
+    return (
+        _streamed_vmem(x.dtype, out_dtype, inter_dtype, W, spec_w.out_size,
+                       btw, bth)
+        <= _VMEM_BUDGET
+    )
+
+
+def _kernel_2pass_streamed(
+    starts_ref, x_hbm, bandw_ref, bandh_ref, o_ref, win, inter, sem,
+    *, k_rows, W, OW, starts_w, k_in_w, precision, out_dtype, inter_dtype,
+    in_exact,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    T = jnp.int32(pl.num_programs(1))
+    B = jnp.int32(pl.num_programs(0))
+    step = b * T + t
+
+    def dma(slot, b_i, t_i):
+        return pltpu.make_async_copy(
+            x_hbm.at[b_i, pl.ds(pl.multiple_of(starts_ref[t_i], 8), k_rows), :],
+            win.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, b, t).start()
+
+    # prefetch the next step's window while this one computes
+    nb = b + (t + jnp.int32(1)) // T
+    nt = jax.lax.rem(t + jnp.int32(1), T)
+
+    @pl.when(step + 1 < B * T)
+    def _():
+        dma(jax.lax.rem(step + jnp.int32(1), jnp.int32(2)), nb, nt).start()
+
+    slot = jax.lax.rem(step, jnp.int32(2))
+    dma(slot, b, t).wait()
+
+    # pass 1: contract W over the window rows -> inter[k_rows, OW_pad]
+    for wt, sw in enumerate(starts_w):
+        xw = _widen(win[slot][:, sw : sw + k_in_w])
+        y = _mxu_dot(
+            xw, bandw_ref[wt], (((1,), (0,)), ((), ())), precision, in_exact
+        )
+        inter[:, wt * _LANE : (wt + 1) * _LANE] = y.astype(inter_dtype)
+    # pass 2: contract the window rows with this tile's H band -> 128 out rows
+    y = _mxu_dot(
+        bandh_ref[t], _widen(inter[...]), (((0,), (0,)), ((), ())), precision,
+        b_exact_bf16=jnp.dtype(inter_dtype) == jnp.bfloat16,
+    )
+    _store(o_ref, (0, slice(None), slice(0, OW)), y[:, :OW], out_dtype)
+
+
+def resize2d_streamed(
+    x: jax.Array,
+    spec_h: AxisSpec,
+    spec_w: AxisSpec,
+    out_dtype=None,
+    inter_dtype=jnp.float32,
+    precision="split",
+) -> jax.Array:
+    """Separable 2-D resize of trailing [H, W] in one pallas_call, streaming
+    halo'd row windows for images whose full height does not fit VMEM."""
+    if out_dtype is None:
+        out_dtype = jnp.float32 if x.dtype == jnp.uint8 else x.dtype
+    out_dtype = jnp.dtype(out_dtype)
+    lead = x.shape[:-2]
+    B = int(np.prod(lead)) if lead else 1
+    H, W = x.shape[-2], x.shape[-1]
+    OH, OW = spec_h.out_size, spec_w.out_size
+    btw = _tiles_exact_cached(spec_w)
+    bth = _tiles_stream_cached(spec_h)
+    T = bth.n_tiles
+    x3 = x.reshape(B, H, W)
+    starts_h = jnp.asarray(bth.starts, dtype=jnp.int32)
+
+    kern = functools.partial(
+        _kernel_2pass_streamed,
+        k_rows=bth.k_in,
+        W=W,
+        OW=OW,
+        starts_w=tuple(int(s) for s in btw.starts),
+        k_in_w=btw.k_in,
+        precision=precision,
+        out_dtype=out_dtype,
+        inter_dtype=jnp.dtype(inter_dtype),
+        in_exact=x.dtype in (jnp.uint8, jnp.bfloat16),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(
+                (btw.n_tiles, btw.k_in, _LANE),
+                lambda b, t, starts: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bth.n_tiles, bth.k_in, _LANE),
+                lambda b, t, starts: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _LANE, OW), lambda b, t, starts: (b, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bth.k_in, W), x.dtype),
+            pltpu.VMEM((bth.k_in, btw.out_padded), jnp.dtype(inter_dtype)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    ib = x.dtype.itemsize
+    y = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, bth.out_padded, OW), out_dtype),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * bth.k_in * (btw.k_in * btw.out_padded
+                                          + _LANE * btw.out_padded),
+            bytes_accessed=B * T * bth.k_in * W * ib
+            + B * OH * OW * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(starts_h, x3, jnp.asarray(btw.band), jnp.asarray(bth.band))
+    return y[:, :OH, :].reshape(*lead, OH, OW)
+
+
 def transpose_supported(g: jax.Array, spec: AxisSpec, axis: int) -> bool:
     if g.dtype not in (jnp.float32, jnp.bfloat16):
         return False

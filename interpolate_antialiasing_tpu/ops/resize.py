@@ -107,6 +107,8 @@ def _resize_plane_impl(
             resize2d_onekernel,
             resize2d_onekernel_supported,
             resize2d_pallas,
+            resize2d_streamed,
+            resize2d_streamed_supported,
             resize2d_supported,
         )
 
@@ -114,6 +116,13 @@ def _resize_plane_impl(
             if debug_enabled():
                 print("[ia-tpu] single-kernel 2-pass pipeline (float)")
             return resize2d_onekernel(x, spec_h, spec_w, out_dtype=x.dtype)
+        inter = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        if resize2d_streamed_supported(x, spec_h, spec_w, inter_dtype=inter):
+            if debug_enabled():
+                print("[ia-tpu] streamed single-kernel pipeline (float)")
+            return resize2d_streamed(
+                x, spec_h, spec_w, out_dtype=x.dtype, inter_dtype=inter
+            )
         if resize2d_supported(x, spec_h, spec_w):
             if debug_enabled():
                 print("[ia-tpu] fused 2-pass pipeline (float)")
@@ -266,6 +275,8 @@ def resize(
             resize2d_onekernel,
             resize2d_onekernel_supported,
             resize2d_pallas,
+            resize2d_streamed,
+            resize2d_streamed_supported,
             resize2d_supported,
         )
 
@@ -278,6 +289,10 @@ def resize(
             if debug_enabled():
                 print("[ia-tpu] uint8 single-kernel 2-pass pipeline")
             return resize2d_onekernel(x, spec_h, spec_w, out_dtype=odt)
+        if trailing_hw and resize2d_streamed_supported(x, spec_h, spec_w, odt):
+            if debug_enabled():
+                print("[ia-tpu] uint8 streamed single-kernel pipeline")
+            return resize2d_streamed(x, spec_h, spec_w, out_dtype=odt)
         if trailing_hw and resize2d_supported(x, spec_h, spec_w):
             if debug_enabled():
                 print("[ia-tpu] uint8 fused 2-pass pipeline")

@@ -134,3 +134,54 @@ def test_onekernel_odd_batch(rng):
     ref = _dense2d(x.astype(jnp.float32), spec_h, spec_w)
     ref = jnp.clip(jnp.floor(ref + 0.5), 0, 255)
     assert float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref))) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Streamed single-kernel pipeline (resize2d_streamed): manual double-buffered
+# DMA of halo'd row windows, grid over (image, output-row tile)
+# ---------------------------------------------------------------------------
+
+from interpolate_antialiasing_tpu.ops.pallas_resize import (  # noqa: E402
+    resize2d_streamed,
+    resize2d_streamed_supported,
+)
+
+STREAM_CASES = [
+    ((2, 216, 384), (108, 192), "bilinear", jnp.float32, jnp.float32),
+    ((1, 216, 384), (108, 192), "bilinear", jnp.bfloat16, jnp.bfloat16),
+    ((1, 440, 1024), (196, 320), "bilinear", jnp.uint8, jnp.uint8),
+    ((3, 256, 512), (700, 300), "bicubic", jnp.float32, jnp.float32),
+    ((1, 64, 256), (320, 96), "lanczos3", jnp.float32, jnp.float32),
+]
+
+
+@pytest.mark.parametrize("shape,ohw,mode,idt,odt", STREAM_CASES)
+def test_streamed_matches_dense(rng, shape, ohw, mode, idt, odt):
+    xf = rng.random(shape).astype(np.float32) * 255.0
+    x = jnp.asarray(xf).astype(idt)
+    spec_h = make_axis_spec(shape[-2], ohw[0], mode)
+    spec_w = make_axis_spec(shape[-1], ohw[1], mode)
+    inter = jnp.bfloat16 if idt == jnp.bfloat16 else jnp.float32
+    assert resize2d_streamed_supported(x, spec_h, spec_w, odt, inter_dtype=inter)
+    y = resize2d_streamed(x, spec_h, spec_w, out_dtype=odt, inter_dtype=inter)
+    assert y.shape == (*shape[:-2], *ohw) and y.dtype == odt
+    ref = _dense2d(x.astype(jnp.float32), spec_h, spec_w)
+    err = float(jnp.max(jnp.abs(y.astype(jnp.float32)
+                                - (jnp.clip(jnp.floor(ref + 0.5), 0, 255)
+                                   if odt == jnp.uint8 else ref))))
+    if odt == jnp.uint8:
+        assert err <= 1.0, err
+    elif idt == jnp.bfloat16:
+        assert err <= 255 * 2 ** -7, err  # bf16 intermediate+output quantisation
+    else:
+        assert err <= 0.01, err
+
+
+def test_streamed_rejects_unaligned():
+    spec_h = make_axis_spec(438, 196, "bilinear")   # H % 8 != 0
+    spec_w = make_axis_spec(906, 320, "bilinear")   # W % 128 != 0
+    x = jnp.zeros((1, 438, 906), jnp.float32)
+    assert not resize2d_streamed_supported(x, spec_h, spec_w)
+    spec_h2 = make_axis_spec(440, 196, "bilinear")
+    x2 = jnp.zeros((1, 440, 906), jnp.float32)
+    assert not resize2d_streamed_supported(x2, spec_h2, spec_w)
