@@ -870,6 +870,10 @@ def resize2d_onekernel(
     spec_w: AxisSpec,
     out_dtype=None,
     precision="split",
+    tiles_w: BandedTiles | None = None,
+    tiles_h: BandedTiles | None = None,
+    out_h: int | None = None,
+    out_w: int | None = None,
 ) -> jax.Array:
     """Separable 2-D resize of the trailing [H, W] axes in ONE pallas_call.
 
@@ -886,9 +890,10 @@ def resize2d_onekernel(
     lead = x.shape[:-2]
     B = int(np.prod(lead)) if lead else 1
     H, W = x.shape[-2], x.shape[-1]
-    OH, OW = spec_h.out_size, spec_w.out_size
-    btw = _tiles_exact_cached(spec_w)
-    bth = _tiles_exact_cached(spec_h)
+    OH = out_h if out_h is not None else spec_h.out_size
+    OW = out_w if out_w is not None else spec_w.out_size
+    btw = tiles_w if tiles_w is not None else _tiles_exact_cached(spec_w)
+    bth = tiles_h if tiles_h is not None else _tiles_exact_cached(spec_h)
 
     # Largest image-count per grid step that fits VMEM (cap 8), preferring
     # divisors of B so the grid is exact.
@@ -946,6 +951,60 @@ def resize2d_onekernel(
         interpret=_interpret(),
     )(x3, jnp.asarray(btw.band), jnp.asarray(bth.band))
     return y.reshape(*lead, OH, OW)
+
+
+# ---------------------------------------------------------------------------
+# Whole-image single-kernel ADJOINT: the VJP of the separable resize is the
+# same two-pass pipeline with transposed bands (grad [B, OH, OW] -> [B, H, W]),
+# so it reuses _kernel_2pass verbatim with tiles built from W^T.
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _tiles_exact_T_cached(spec: AxisSpec) -> BandedTiles:
+    from .weights import banded_tiles_from_matrix, dense_matrix
+
+    Wt = dense_matrix(spec, dtype=np.float64).T  # [in, out]
+    return banded_tiles_from_matrix(Wt, tile=_LANE, dtype=np.float32, align=1,
+                                    in_cap=spec.out_size)
+
+
+def resize2d_onekernel_transpose_supported(
+    g: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec
+) -> bool:
+    if g.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if g.ndim < 2:
+        return False
+    btwT = _tiles_exact_T_cached(spec_w)
+    bthT = _tiles_exact_T_cached(spec_h)
+    if btwT.k_in > spec_w.out_size or bthT.k_in > spec_h.out_size:
+        return False
+    if btwT.n_tiles > _MAX_UNROLL_TILES or bthT.n_tiles > _MAX_UNROLL_TILES:
+        return False
+    return (
+        _onekernel_vmem(g.dtype, g.dtype, spec_h.out_size, spec_w.out_size,
+                        spec_h.in_size, spec_w.in_size, btwT, bthT, 1)
+        <= _VMEM_BUDGET
+    )
+
+
+def resize2d_onekernel_transpose(
+    g: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec, precision="split"
+) -> jax.Array:
+    """Fused backward: apply ``W_w^T`` then ``W_h^T`` to the cotangent in one
+    pallas_call (replaces two padded per-axis adjoint calls)."""
+    return resize2d_onekernel(
+        g,
+        spec_h,
+        spec_w,
+        out_dtype=g.dtype,
+        precision=precision,
+        tiles_w=_tiles_exact_T_cached(spec_w),
+        tiles_h=_tiles_exact_T_cached(spec_h),
+        out_h=spec_h.in_size,
+        out_w=spec_w.in_size,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -169,6 +169,23 @@ def _fwd(x, spec_h, spec_w, h_axis, w_axis, backend):
 
 
 def _bwd(spec_h, spec_w, h_axis, w_axis, backend, _res, g):
+    # Fused single-kernel adjoint when the plane is the trailing [H, W]
+    # (same transposed-band math, one pallas_call instead of two padded
+    # per-axis calls).
+    if (
+        _on_tpu()
+        and h_axis % g.ndim == g.ndim - 2
+        and w_axis % g.ndim == g.ndim - 1
+    ):
+        from .pallas_resize import (
+            resize2d_onekernel_transpose,
+            resize2d_onekernel_transpose_supported,
+        )
+
+        if resize2d_onekernel_transpose_supported(g, spec_h, spec_w):
+            if debug_enabled():
+                print("[ia-tpu] single-kernel adjoint")
+            return (resize2d_onekernel_transpose(g, spec_h, spec_w),)
     # Adjoint in reverse pass order: H first, then W.
     gh = _transpose_axis(g, spec_h, h_axis)
     gx = _transpose_axis(gh, spec_w, w_axis)

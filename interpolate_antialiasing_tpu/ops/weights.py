@@ -360,19 +360,23 @@ def banded_tiles(
 
 
 def banded_tiles_from_matrix(
-    W: np.ndarray, tile: int = 128, dtype=np.float32, align: int = 8
+    W: np.ndarray, tile: int = 128, dtype=np.float32, align: int = 8,
+    in_cap: int | None = None,
 ) -> BandedTiles:
     """Tile-compact an arbitrary banded matrix ``W[out, in]``.
 
     Used for the adjoint pass: the VJP of a resize is the transposed banded
     matrix, which is again banded (with monotone window starts), so the same
     Pallas kernels apply.  Window extents are derived from the nonzero
-    structure of each row-tile.
+    structure of each row-tile.  ``in_cap`` as in :func:`banded_tiles`
+    (``align=1, in_cap=insz`` keeps windows inside the unpadded input for
+    the exact-block single-kernel pipelines).
     """
     out, insz = W.shape
     n_tiles = -(-out // tile)
     out_padded = n_tiles * tile
-    in_cap = _round_up(insz, align)
+    if in_cap is None:
+        in_cap = _round_up(insz, align)
 
     los, his = [], []
     for t in range(n_tiles):
