@@ -413,8 +413,9 @@ def resize_nd(
     if len(sizes) != len(axes):
         raise ValueError("sizes and axes must have equal length")
     backend = backend or default_backend()
-    if backend in ("auto", "pallas"):
-        backend = "xla"  # per-axis XLA passes; Pallas pipeline is 2-D-only
+    # Per-axis passes; under auto/pallas each axis routes to the Pallas
+    # last-/middle-axis kernels when profitable (they are rank-agnostic),
+    # falling back to XLA per axis otherwise.
     cdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     y = x.astype(cdtype)
     order = sorted(zip(axes, sizes), key=lambda t: -(t[0] % x.ndim))

@@ -109,3 +109,13 @@ def test_resize_nd_1d(rng):
     assert y.shape == (4, 50)
     # 1-D AA downsample preserves the mean (weights are a partition of unity)
     assert abs(float(y.mean() - x.mean())) < 1e-2
+
+
+def test_resize_nd_pallas_backend(rng):
+    """Per-axis Pallas kernels are rank-agnostic: 3-D volume via backend=pallas
+    must match the dense-XLA oracle (interpret mode on CPU)."""
+    x = jnp.asarray(rng.random((2, 40, 48, 56)).astype(np.float32))
+    yp = ia.resize_nd(x, (20, 24, 28), (-3, -2, -1), backend="pallas")
+    yx = ia.resize_nd(x, (20, 24, 28), (-3, -2, -1), backend="xla")
+    assert yp.shape == (2, 20, 24, 28)
+    assert float(jnp.max(jnp.abs(yp - yx))) < 5e-3
