@@ -28,7 +28,8 @@ if _os.environ.get("IA_TPU_COMPILE_CACHE"):
     except Exception:
         pass
 
-from .ops.resize import resize, interpolate, resize_plane, resize_nd
+from .ops.resize import resize, interpolate, resize_plane, resize_nd, image_resize
+from .ops.crop import crop_and_resize, random_resized_crop
 from .ops.api import (
     linear_forward,
     nearest_forward,
@@ -47,6 +48,9 @@ __all__ = [
     "interpolate",
     "resize_plane",
     "resize_nd",
+    "image_resize",
+    "crop_and_resize",
+    "random_resized_crop",
     "linear_forward",
     "nearest_forward",
     "cubic_forward",

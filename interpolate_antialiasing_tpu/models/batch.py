@@ -34,6 +34,8 @@ def resize_mixed_batch(
     Returns a stacked ``[N, ...]`` array in the input order.  Images with
     equal shapes are batched into a single device call.
     """
+    if len(images) == 0:
+        raise ValueError("resize_mixed_batch: need at least one image")
     buckets: dict[tuple, list[int]] = defaultdict(list)
     for i, im in enumerate(images):
         buckets[tuple(im.shape)].append(i)

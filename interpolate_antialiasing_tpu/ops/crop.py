@@ -1,0 +1,148 @@
+"""Antialiased crop-and-resize with traced (data-dependent) boxes.
+
+The banded kernels key their weight tables on static (in, out, mode) shapes;
+a *random* crop box is a traced value, so its tap count is dynamic and the
+compact band cannot be built at trace time.  The TPU-native answer keeps
+every shape static by building the DENSE per-image weight matrices
+``W_h[n] in [OH, H]`` / ``W_w[n] in [OW, W]`` inside jit — a full grid of
+filter evaluations masked to the (traced) window and renormalised per row,
+exactly the PIL algorithm evaluated lazily — then applying them as two
+batched MXU matmuls.  Cost is the dense-oracle cost, which is the right
+trade for train-time augmentation batches (boxes change every step, so
+nothing could be cached anyway).
+
+This generalises the reference's capability set (its kernels only resize
+whole images; crop+resize is the composition its downstream users —
+torchvision `RandomResizedCrop(antialias=True)` — built on top of it).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .filters import get_filter
+
+__all__ = ["crop_and_resize", "random_resized_crop"]
+
+
+def _axis_matrix(lo, hi, in_size: int, out_size: int, mode: str, antialias: bool):
+    """Dense [out_size, in_size] AA resampling matrix for the crop interval
+    [lo, hi) given in *pixel* coordinates (traced scalars ok).
+
+    Same math as weights.compute_tables with a box of traced position/size:
+      center_o = lo + scale * (o + 0.5)
+      support  = filt.support * max(scale, 1)   (antialias)
+      w[o, i]  = filter((i - center_o + 0.5) / max(scale, 1)),  |.| <= support
+    rows renormalised; taps outside [0, in_size) excluded (PIL border
+    renormalisation).
+    """
+    filt = get_filter(mode)
+    span = hi - lo
+    scale = span / out_size  # source pixels per output pixel
+    one = jnp.asarray(1.0, jnp.float32)
+    widen = jnp.maximum(scale, one) if antialias else one
+    support = filt.support * widen
+
+    o = jnp.arange(out_size, dtype=jnp.float32)[:, None]  # [out, 1]
+    i = jnp.arange(in_size, dtype=jnp.float32)[None, :]  # [1, in]
+    center = lo + scale * (o + 0.5)
+    arg = (i - center + 0.5) / widen
+    w = filt(arg, jnp)
+    # window mask (|i - center + 0.5| <= support) and crop bounds: only
+    # pixels whose centers lie inside [lo, hi] contribute, so an integer-
+    # cornered box reproduces crop-then-resize exactly (torchvision
+    # RandomResizedCrop semantics), with PIL border renormalisation at the
+    # box edges.
+    valid = (
+        (jnp.abs(i - center + 0.5) <= support)
+        & (i + 0.5 >= lo)
+        & (i + 0.5 <= hi)
+        & (i >= 0.0)
+        & (i < in_size)
+    )
+    w = jnp.where(valid, w, 0.0)
+    total = jnp.sum(w, axis=1, keepdims=True)
+    return w / jnp.where(total == 0.0, 1.0, total)
+
+
+def crop_and_resize(
+    x: jax.Array,
+    boxes: jax.Array,
+    out_hw: tuple[int, int],
+    method: str = "bilinear",
+    antialias: bool = True,
+) -> jax.Array:
+    """Antialiased crop+resize (the AA analogue of ``tf.image.crop_and_resize``).
+
+    * ``x``: ``[N, C, H, W]`` (uint8 or float; uint8 is resampled in f32 and
+      rounded back PIL-style).
+    * ``boxes``: ``[N, 4]`` float, per-image ``(y0, x0, y1, x1)`` in
+      *normalised* [0, 1] corner coordinates (y1 > y0, x1 > x0).
+    * returns ``[N, C, OH, OW]``.
+
+    Fully jit-compatible for traced boxes: shapes depend only on
+    (H, W, OH, OW); box values only flow into the weight matrices.
+    """
+    if x.ndim != 4:
+        raise ValueError("crop_and_resize expects NCHW input")
+    if boxes.ndim != 2 or boxes.shape[-1] != 4:
+        raise ValueError("boxes must be [N, 4] (y0, x0, y1, x1)")
+    N, C, H, W = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    in_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    b = boxes.astype(jnp.float32)
+
+    def one(img, box):
+        y0, x0, y1, x1 = box[0] * H, box[1] * W, box[2] * H, box[3] * W
+        Wh = _axis_matrix(y0, y1, H, oh, method, antialias)  # [oh, H]
+        Ww = _axis_matrix(x0, x1, W, ow, method, antialias)  # [ow, W]
+        # img: [C, H, W] -> [C, oh, ow]
+        t = jnp.einsum("oi,cij->coj", Wh, img,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("uj,coj->cou", Ww, t,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    y = jax.vmap(one)(xf, b)
+    if in_dtype == jnp.uint8:
+        y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0).astype(jnp.uint8)
+    return y
+
+
+def random_resized_crop(
+    key: jax.Array,
+    x: jax.Array,
+    out_hw: tuple[int, int],
+    scale: tuple[float, float] = (0.08, 1.0),
+    ratio: tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    method: str = "bilinear",
+    antialias: bool = True,
+) -> jax.Array:
+    """Jit-compatible antialiased RandomResizedCrop (ImageNet train aug).
+
+    Samples per-image area fraction in ``scale`` and aspect ratio
+    log-uniform in ``ratio``, clamps the box to fit (single-shot sampling
+    with clamping, instead of torchvision's 10-attempt rejection loop —
+    rejection needs data-dependent control flow that XLA can't trace), and
+    applies :func:`crop_and_resize`.
+    """
+    if x.ndim != 4:
+        raise ValueError("random_resized_crop expects NCHW input")
+    N, C, H, W = x.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = jax.random.uniform(k1, (N,), minval=scale[0], maxval=scale[1]) * (H * W)
+    logr = jax.random.uniform(
+        k2, (N,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    r = jnp.exp(logr)  # aspect = w/h
+    cw = jnp.minimum(jnp.sqrt(area * r), float(W))
+    ch = jnp.minimum(jnp.sqrt(area / r), float(H))
+    oy = jax.random.uniform(k3, (N,)) * (H - ch)
+    ox = jax.random.uniform(k4, (N,)) * (W - cw)
+    boxes = jnp.stack(
+        [oy / H, ox / W, (oy + ch) / H, (ox + cw) / W], axis=-1
+    )
+    return crop_and_resize(x, boxes, out_hw, method=method, antialias=antialias)

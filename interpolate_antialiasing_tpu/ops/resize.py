@@ -393,6 +393,29 @@ def interpolate(
     )
 
 
+def image_resize(
+    image: jax.Array,
+    shape: Sequence[int],
+    method: str = "bilinear",
+    antialias: bool = True,
+) -> jax.Array:
+    """Drop-in for ``jax.image.resize(image, shape, method, antialias)``.
+
+    Resizes every axis whose target differs from the source (separable banded
+    passes, Pillow-parity weights) — same call signature, so existing
+    ``jax.image.resize`` call sites can switch by changing the import.
+    """
+    if len(shape) != image.ndim:
+        raise ValueError(f"shape must have rank {image.ndim}, got {len(shape)}")
+    axes = [i for i in range(image.ndim) if int(shape[i]) != image.shape[i]]
+    if not axes:
+        return image
+    return resize_nd(
+        image, [int(shape[i]) for i in axes], axes, method=method,
+        antialias=antialias,
+    )
+
+
 def resize_nd(
     x: jax.Array,
     sizes: Sequence[int],

@@ -1,0 +1,87 @@
+"""crop_and_resize / random_resized_crop: traced-box AA crop-resize."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import interpolate_antialiasing_tpu as ia
+from interpolate_antialiasing_tpu.ops.crop import crop_and_resize, random_resized_crop
+
+
+def test_full_box_matches_resize(rng):
+    x = jnp.asarray((rng.random((2, 3, 60, 90)) * 255).astype(np.float32))
+    boxes = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]]), (2, 1))
+    y = crop_and_resize(x, boxes, (30, 40))
+    ref = ia.resize(x, (30, 40), backend="xla")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-3)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+def test_integer_box_matches_crop_then_resize(rng, mode):
+    H, W = 64, 96
+    x = jnp.asarray((rng.random((1, 3, H, W)) * 255).astype(np.float32))
+    y0, x0, y1, x1 = 8, 16, 56, 80
+    boxes = jnp.asarray([[y0 / H, x0 / W, y1 / H, x1 / W]], dtype=jnp.float32)
+    y = crop_and_resize(x, boxes, (24, 32), method=mode)
+    ref = ia.resize(x[:, :, y0:y1, x0:x1], (24, 32), method=mode, backend="xla")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=5e-3)
+
+
+def test_boxes_are_traced(rng):
+    """jit once, run with different boxes: no recompile, different outputs."""
+    x = jnp.asarray(rng.random((2, 1, 40, 40)).astype(np.float32))
+    f = jax.jit(lambda b: crop_and_resize(x, b, (16, 16)))
+    b1 = jnp.asarray([[0.0, 0.0, 0.5, 0.5], [0.25, 0.25, 1.0, 1.0]])
+    b2 = jnp.asarray([[0.5, 0.5, 1.0, 1.0], [0.0, 0.0, 1.0, 1.0]])
+    y1, y2 = f(b1), f(b2)
+    assert y1.shape == y2.shape == (2, 1, 16, 16)
+    assert float(jnp.max(jnp.abs(y1 - y2))) > 1e-3
+    assert f._cache_size() == 1
+
+
+def test_crop_uint8_roundtrip(rng):
+    x = jnp.asarray((rng.random((1, 3, 50, 50)) * 255).astype(np.uint8))
+    boxes = jnp.asarray([[0.1, 0.1, 0.9, 0.9]])
+    y = crop_and_resize(x, boxes, (20, 20))
+    assert y.dtype == jnp.uint8 and y.shape == (1, 3, 20, 20)
+
+
+def test_crop_gradients(rng):
+    x = jnp.asarray(rng.random((1, 1, 32, 32)).astype(np.float32))
+    boxes = jnp.asarray([[0.1, 0.2, 0.8, 0.9]])
+    g = jax.grad(lambda t: (crop_and_resize(t, boxes, (8, 8)) ** 2).sum())(x)
+    assert g.shape == x.shape and bool(jnp.isfinite(g).all())
+
+
+def test_random_resized_crop(rng):
+    x = jnp.asarray((rng.random((4, 3, 100, 120)) * 255).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    f = jax.jit(lambda k, t: random_resized_crop(k, t, (32, 32)))
+    y = f(key, x)
+    assert y.shape == (4, 3, 32, 32)
+    y2 = f(jax.random.PRNGKey(1), x)
+    assert float(jnp.max(jnp.abs(y - y2))) > 1e-3  # different crops
+    # values stay in the input range (bilinear weights are a convex combo)
+    assert float(y.min()) >= float(x.min()) - 1e-3
+    assert float(y.max()) <= float(x.max()) + 1e-3
+
+
+def test_bad_args():
+    x = jnp.zeros((1, 3, 10, 10))
+    with pytest.raises(ValueError):
+        crop_and_resize(x[0], jnp.zeros((1, 4)), (4, 4))
+    with pytest.raises(ValueError):
+        crop_and_resize(x, jnp.zeros((1, 3)), (4, 4))
+
+
+def test_image_resize_signature(rng):
+    """jax.image.resize drop-in wrapper."""
+    x = jnp.asarray(rng.random((2, 3, 40, 60)).astype(np.float32))
+    y = ia.image_resize(x, (2, 3, 20, 30))
+    assert y.shape == (2, 3, 20, 30)
+    ref = ia.resize(x, (20, 30), backend="xla")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
+    assert ia.image_resize(x, x.shape) is x
+    with pytest.raises(ValueError):
+        ia.image_resize(x, (20, 30))
