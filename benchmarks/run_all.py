@@ -80,6 +80,13 @@ def main():
     pipe = ImageNetEvalPipeline(size=(224, 224))
     report("imagenet-eval-b64", pipe, x, 64 * 224 * 224)
 
+    # 3b. train-aug preprocessing: batch-64 RandomResizedCrop -> 224x224
+    from interpolate_antialiasing_tpu.models import ImageNetTrainPipeline
+
+    tpipe = ImageNetTrainPipeline(size=(224, 224))
+    key = jax.random.PRNGKey(0)
+    report("imagenet-train-aug-b64", lambda t: tpipe(key, t), x, 64 * 224 * 224)
+
     # 4. backward (VJP) workload
     xs = jnp.asarray(rng.random((8, 3, 438, 906)).astype(np.float32))
 

@@ -1,4 +1,9 @@
-from .preprocess import ImageNetEvalPipeline, VideoDownscaler, imagenet_eval_preprocess
+from .preprocess import (
+    ImageNetEvalPipeline,
+    ImageNetTrainPipeline,
+    VideoDownscaler,
+    imagenet_eval_preprocess,
+)
 from .pyramid import aa_pyramid
 from .train import Trainer, init_params, forward, loss_fn, make_train_step
 from .batch import resize_mixed_batch, ShapeBucketResizer
@@ -6,6 +11,7 @@ from .flax_module import AAResize
 
 __all__ = [
     "ImageNetEvalPipeline",
+    "ImageNetTrainPipeline",
     "VideoDownscaler",
     "imagenet_eval_preprocess",
     "aa_pyramid",

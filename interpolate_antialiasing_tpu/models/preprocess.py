@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from ..ops.resize import resize, resize_plane
 
-__all__ = ["ImageNetEvalPipeline", "VideoDownscaler", "imagenet_eval_preprocess"]
+__all__ = ["ImageNetEvalPipeline", "ImageNetTrainPipeline", "VideoDownscaler",
+           "imagenet_eval_preprocess"]
 
 _IMAGENET_MEAN = (0.485, 0.456, 0.406)
 _IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -76,3 +77,38 @@ class VideoDownscaler:
             backend=self.backend,
         )
         return y.astype(jnp.bfloat16)
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageNetTrainPipeline:
+    """uint8 NCHW batch -> augmented normalised float NCHW at ``size``.
+
+    Train-time counterpart of :class:`ImageNetEvalPipeline`: antialiased
+    RandomResizedCrop + random horizontal flip + normalise, all inside one
+    jitted graph (crop boxes are traced, so one compile serves every step).
+    """
+
+    size: tuple[int, int] = (224, 224)
+    method: str = "bilinear"
+    scale: tuple[float, float] = (0.08, 1.0)
+    ratio: tuple[float, float] = (0.75, 4.0 / 3.0)
+    flip_prob: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+    mean: Sequence[float] = _IMAGENET_MEAN
+    std: Sequence[float] = _IMAGENET_STD
+
+    def __call__(self, key: jax.Array, batch_u8: jax.Array) -> jax.Array:
+        from ..ops.crop import random_resized_crop
+
+        k_crop, k_flip = jax.random.split(key)
+        x = batch_u8.astype(jnp.float32)
+        y = random_resized_crop(
+            k_crop, x, self.size, scale=self.scale, ratio=self.ratio,
+            method=self.method,
+        )
+        flip = jax.random.bernoulli(k_flip, self.flip_prob, (y.shape[0],))
+        y = jnp.where(flip[:, None, None, None], y[..., ::-1], y)
+        y = y * jnp.float32(1.0 / 255.0)
+        mean = jnp.asarray(self.mean, jnp.float32).reshape(1, -1, 1, 1)
+        std = jnp.asarray(self.std, jnp.float32).reshape(1, -1, 1, 1)
+        return ((y - mean) / std).astype(self.dtype)

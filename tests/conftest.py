@@ -21,8 +21,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same stream regardless of which
+    # other tests ran first (a session-scoped generator made marginal
+    # tolerances order-dependent)
     return np.random.default_rng(1234)
 
 

@@ -95,3 +95,17 @@ def test_flax_module(rng):
     assert y.shape == (2, 3, 16, 16)
     g = jax.grad(lambda t: float(0) + (m.apply({}, t) ** 2).sum())(x)
     assert g.shape == x.shape
+
+
+def test_imagenet_train_pipeline(rng):
+    from interpolate_antialiasing_tpu.models import ImageNetTrainPipeline
+
+    pipe = ImageNetTrainPipeline(size=(32, 32))
+    x = jnp.asarray((rng.random((4, 3, 80, 100)) * 255).astype(np.uint8))
+    f = jax.jit(pipe)
+    y = f(jax.random.PRNGKey(0), x)
+    assert y.shape == (4, 3, 32, 32) and y.dtype == jnp.float32
+    y2 = f(jax.random.PRNGKey(1), x)
+    assert float(jnp.max(jnp.abs(y - y2))) > 1e-3  # augmentation varies
+    assert f._cache_size() == 1  # keys/boxes traced, single compile
+    assert bool(jnp.isfinite(y).all())

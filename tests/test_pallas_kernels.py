@@ -36,7 +36,7 @@ def test_kernel_matches_dense(rng, shape, out, axis, mode, fused):
     d = resize_axis_dense(x, spec, axis)
     p = resize_axis_pallas(x, spec, axis, fused=fused)
     err = float(jnp.max(jnp.abs(d - p)))
-    tol = 2e-5 if fused else 1e-5
+    tol = 3e-5  # split-precision bound (~2^-16 relative on row sums)
     assert err < tol * max(1.0, float(jnp.max(jnp.abs(d)))), err
 
 
@@ -52,4 +52,4 @@ def test_upsample_kernel(rng):
     spec = make_axis_spec(50, 300, "bilinear")
     d = resize_axis_dense(x, spec, 3)
     p = resize_axis_pallas(x, spec, 3)
-    assert float(jnp.max(jnp.abs(d - p))) < 1e-5
+    assert float(jnp.max(jnp.abs(d - p))) < 3e-5
