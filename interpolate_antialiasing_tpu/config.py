@@ -26,15 +26,19 @@ def default_backend() -> str:
 
 @dataclasses.dataclass(frozen=True)
 class ResizeOptions:
-    """Static knobs for one resize call (part of the jit cache key)."""
+    """Static knobs for one resize call (part of the jit cache key).
+
+    Pass as ``resize(x, size, options=ResizeOptions(...))`` — a bundled
+    alternative to the individual keyword arguments (the rebuild of the
+    reference's compile-flag presets, test.py:315-320).
+    """
 
     method: str = "bilinear"
     antialias: bool = True
     align_corners: bool = False
     backend: str = "auto"  # auto | xla | pallas | dense | gather | banded
-    # Tile sizes for the Pallas kernels; 0 = pick automatically.
-    tile_out: int = 0
-    tile_rows: int = 0
+    data_format: str | None = None  # NCHW | NHWC | ... (None = infer)
+    output_dtype: object = None
 
 
 def enable_compilation_cache(path: str | None = None) -> None:

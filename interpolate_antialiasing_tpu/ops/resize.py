@@ -41,7 +41,12 @@ __all__ = ["resize", "resize_plane", "resize_plane_vjp", "interpolate", "resize_
 # ---------------------------------------------------------------------------
 
 
+_BACKENDS = ("auto", "xla", "pallas", "dense", "gather", "banded")
+
+
 def _pick_method(spec: AxisSpec, backend: str, on_tpu: bool) -> str:
+    if backend not in _BACKENDS:
+        raise ValueError(f"unknown backend {backend!r}; expected one of {_BACKENDS}")
     if backend in ("dense", "gather", "banded", "pallas"):
         return backend
     if backend == "xla" or not on_tpu:
@@ -258,6 +263,7 @@ def resize(
     backend: str | None = None,
     output_dtype=None,
     scale_factors: tuple[float, float] | None = None,
+    options=None,
 ) -> jax.Array:
     """Antialiased (or classic) separable image resize.
 
@@ -271,6 +277,15 @@ def resize(
       truncates via ``.byte()`` after a Python-side clamp (test.py:71-75) —
       we match Pillow, the shared oracle.
     """
+    if options is not None:
+        method = options.method
+        antialias = options.antialias
+        align_corners = options.align_corners
+        backend = options.backend
+        data_format = options.data_format if options.data_format else data_format
+        output_dtype = (
+            options.output_dtype if options.output_dtype is not None else output_dtype
+        )
     oh, ow = int(size[0]), int(size[1])
     h_axis, w_axis = _axes_for(x, data_format)
     in_dtype = x.dtype

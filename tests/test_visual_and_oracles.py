@@ -112,3 +112,26 @@ def test_cli_inspect(capsys):
     main(["--inspect", "--mode", "bicubic", "--size", "120", "96"])
     out = capsys.readouterr().out
     assert "route=" in out and "ntaps=" in out
+
+
+def test_resize_options_bundle(rng):
+    """ResizeOptions drives resize() identically to keyword args."""
+    import interpolate_antialiasing_tpu as ia
+
+    x = jnp.asarray((rng.random((1, 3, 40, 60)) * 255).astype(np.uint8))
+    opt = ia.ResizeOptions(method="bicubic", antialias=False,
+                           align_corners=True, backend="xla",
+                           output_dtype=jnp.float32)
+    a = ia.resize(x, (20, 30), options=opt)
+    b = ia.resize(x, (20, 30), method="bicubic", antialias=False,
+                  align_corners=True, backend="xla", output_dtype=jnp.float32)
+    assert a.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unknown_backend_raises(rng):
+    import interpolate_antialiasing_tpu as ia
+
+    x = jnp.asarray(rng.random((1, 3, 20, 20)).astype(np.float32))
+    with pytest.raises(ValueError, match="unknown backend"):
+        ia.resize(x, (10, 10), backend="bogus")
