@@ -41,7 +41,7 @@ __all__ = ["resize", "resize_plane", "resize_plane_vjp", "interpolate", "resize_
 # ---------------------------------------------------------------------------
 
 
-_BACKENDS = ("auto", "xla", "pallas", "dense", "gather", "banded")
+_BACKENDS = ("auto", "xla", "pallas", "dense", "gather", "banded", "pil_exact")
 
 
 def _pick_method(spec: AxisSpec, backend: str, on_tpu: bool) -> str:
@@ -291,6 +291,18 @@ def resize(
     in_dtype = x.dtype
     out_dtype_resolved = output_dtype if output_dtype is not None else in_dtype
     backend_resolved = backend or default_backend()
+    if backend_resolved == "pil_exact":
+        # Bit-identical Pillow 8bpc fixed-point pipeline (oracle backend).
+        from .pil_exact import resize_pil_exact
+
+        if in_dtype != jnp.uint8 or jnp.dtype(out_dtype_resolved) != jnp.uint8:
+            raise ValueError("backend='pil_exact' is the uint8 (8bpc) pipeline")
+        if not antialias or align_corners or scale_factors is not None:
+            raise ValueError(
+                "backend='pil_exact' emulates PIL.Image.resize: antialias "
+                "only, no align_corners/scale_factors"
+            )
+        return resize_pil_exact(x, (oh, ow), method=method, data_format=data_format)
     # Fast uint8 path: decode/encode inside the Pallas kernels so the image
     # crosses HBM at 1 byte/px on input (and output for u8->u8); the
     # intermediate stays f32 in VMEM-padded layout.

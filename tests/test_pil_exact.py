@@ -1,0 +1,66 @@
+"""Bit-exact Pillow parity: MaxAbsE == 0 (the reference could only assert
+MaxAbsE <= 1, test.py:370-372)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import interpolate_antialiasing_tpu as ia
+
+PIL = pytest.importorskip("PIL.Image")
+
+PIL_MODES = {
+    "bilinear": PIL.BILINEAR,
+    "bicubic": PIL.BICUBIC,
+    "lanczos3": PIL.LANCZOS,
+    "box": PIL.BOX,
+}
+
+SIZES = [(438, 906, 196, 320), (57, 83, 24, 31), (96, 120, 196, 1200),
+         (40, 1200, 1200, 120), (10, 10, 10, 10)]
+
+
+@pytest.mark.parametrize("mode", list(PIL_MODES))
+@pytest.mark.parametrize("hwos", SIZES)
+def test_bit_exact_vs_pillow(rng, mode, hwos):
+    H, W, oh, ow = hwos
+    img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    ref = np.asarray(PIL.fromarray(img).resize((ow, oh), PIL_MODES[mode]))
+    got = np.asarray(
+        ia.resize_pil_exact(jnp.asarray(img), (oh, ow), method=mode,
+                            data_format="HWC")
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_backend_routing_and_layouts(rng):
+    img = (rng.random((3, 50, 70)) * 255).astype(np.uint8)
+    via_backend = ia.resize(jnp.asarray(img), (25, 35), backend="pil_exact")
+    direct = ia.resize_pil_exact(jnp.asarray(img), (25, 35))
+    np.testing.assert_array_equal(np.asarray(via_backend), np.asarray(direct))
+    ref = np.asarray(
+        PIL.fromarray(np.moveaxis(img, 0, -1)).resize((35, 25), PIL.BILINEAR)
+    )
+    np.testing.assert_array_equal(np.moveaxis(np.asarray(direct), 0, -1), ref)
+    # batched NCHW
+    b = jnp.asarray(np.stack([img, img ^ 1]))
+    yb = ia.resize(b, (25, 35), backend="pil_exact")
+    assert yb.shape == (2, 3, 25, 35) and yb.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(yb[0]), np.asarray(direct))
+
+
+def test_pil_exact_rejects_non_u8_and_flags(rng):
+    xf = jnp.zeros((1, 3, 20, 20), jnp.float32)
+    with pytest.raises(ValueError, match="uint8"):
+        ia.resize(xf, (10, 10), backend="pil_exact")
+    xu = jnp.zeros((1, 3, 20, 20), jnp.uint8)
+    with pytest.raises(ValueError, match="antialias"):
+        ia.resize(xu, (10, 10), backend="pil_exact", align_corners=True)
+
+
+def test_jit_compatible(rng):
+    x = jnp.asarray((rng.random((2, 3, 40, 60)) * 255).astype(np.uint8))
+    f = jax.jit(lambda t: ia.resize_pil_exact(t, (20, 30)))
+    y = f(x)
+    assert y.shape == (2, 3, 20, 30) and y.dtype == jnp.uint8
