@@ -215,6 +215,11 @@ def resize_plane(
 
     Input must already be a floating dtype; use :func:`resize` for the full
     dtype/layout surface.
+
+    Autodiff: reverse mode (any order) and ``vmap`` compose with the custom
+    VJP; forward-mode ``jax.jvp`` is not supported (``jax.custom_vjp``
+    limitation).  The op is linear, so a forward tangent is just the op
+    applied to the tangent: ``jvp = resize_plane(tangent, ...)``.
     """
     backend = backend or default_backend()
     sfh, sfw = scale_factors if scale_factors is not None else (None, None)

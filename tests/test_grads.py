@@ -76,3 +76,21 @@ def test_jit_grad_composition():
     Ww = dense_matrix(make_axis_spec(24, 12, "bilinear"), dtype=np.float64)
     expected = np.outer(Wh.sum(axis=0), Ww.sum(axis=0))
     np.testing.assert_allclose(np.asarray(g[0, 0]), expected, atol=1e-10)
+
+
+def test_vmap_and_second_order(rng):
+    """Transform coverage: vmap and reverse-over-reverse compose with the
+    custom VJP; forward-mode jvp is unsupported (custom_vjp limitation —
+    the op is linear, so apply it to the tangent directly if needed)."""
+    x = jnp.asarray(rng.random((4, 3, 32, 48)).astype(np.float32))
+    f = lambda img: ia.resize_plane(img, (16, 24), 1, 2)
+    yv = jax.vmap(f)(x)
+    yd = ia.resize_plane(x, (16, 24), 2, 3)
+    np.testing.assert_allclose(np.asarray(yv), np.asarray(yd), atol=1e-5)
+
+    g = lambda t: (ia.resize_plane(t, (16, 24), 2, 3) ** 2).sum()
+    hvp = jax.grad(lambda t: (jax.grad(g)(t) * t).sum())(x)
+    assert hvp.shape == x.shape and bool(jnp.isfinite(hvp).all())
+
+    with pytest.raises(TypeError, match="forward-mode"):
+        jax.jvp(f, (x[0],), (x[0],))
