@@ -55,13 +55,12 @@ def _axis_matrix(lo, hi, in_size: int, out_size: int, mode: str, antialias: bool
     # pixels whose centers lie inside [lo, hi] contribute, so an integer-
     # cornered box reproduces crop-then-resize exactly (torchvision
     # RandomResizedCrop semantics), with PIL border renormalisation at the
-    # box edges.
+    # box edges.  (i itself is an arange over [0, in_size), so no separate
+    # image-bounds terms are needed.)
     valid = (
         (jnp.abs(i - center + 0.5) <= support)
         & (i + 0.5 >= lo)
         & (i + 0.5 <= hi)
-        & (i >= 0.0)
-        & (i < in_size)
     )
     w = jnp.where(valid, w, 0.0)
     total = jnp.sum(w, axis=1, keepdims=True)

@@ -600,23 +600,33 @@ def _divisor_near(n: int, target: int) -> int:
     return d
 
 
-def resize2d_supported(x: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec) -> bool:
+def resize2d_supported(
+    x: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec, inter_dtype=jnp.float32
+) -> bool:
+    """Admission check for :func:`resize2d_pallas` — must mirror the tile
+    geometry the kernel actually builds (same ``inter_dtype``-dependent
+    sublane alignment), or the router would admit shapes the kernel cannot
+    compile."""
     if x.dtype not in (jnp.float32, jnp.bfloat16, jnp.uint8):
         return False
     if x.ndim < 2:
         return False
+    ii = jnp.dtype(inter_dtype).itemsize
     btw = _tiles_cached(spec_w, _LANE, _LANE)
-    bth = _tiles_cached(spec_h, _LANE, _sublane(jnp.float32))
+    bth = _tiles_cached(spec_h, _LANE, _sublane(jnp.dtype(inter_dtype)))
     if btw.n_tiles > _MAX_UNROLL_TILES or bth.n_tiles > _MAX_UNROLL_TILES:
         return False
     w_pad = max(_round_up(spec_w.in_size, _LANE), btw.k_in)
-    h_pad = _round_up(max(_round_up(spec_h.in_size, 8), bth.k_in), _LANE)
+    h_pad = _round_up(
+        max(_round_up(spec_h.in_size, _sublane(jnp.dtype(inter_dtype))), bth.k_in),
+        _LANE,
+    )
     band_bytes = (btw.n_tiles * btw.k_in + bth.n_tiles * bth.k_in) * _LANE * 4
     # pass 1 tiles by rows (any divisor of h_pad), pass 2 chunks the width
     # (any 128-multiple divisor of ow_pad) — both need just one minimal
     # block + the resident band in VMEM.
-    p1_min = _LANE * (w_pad * x.dtype.itemsize + btw.out_padded * 4)
-    p2_min = _LANE * (h_pad * 4 + bth.out_padded * 4)
+    p1_min = _LANE * (w_pad * x.dtype.itemsize + btw.out_padded * ii)
+    p2_min = _LANE * (h_pad * ii + bth.out_padded * ii)
     return (
         p1_min * 2 + band_bytes <= _VMEM_BUDGET
         and p2_min * 2 + band_bytes <= _VMEM_BUDGET

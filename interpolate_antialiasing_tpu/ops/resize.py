@@ -47,6 +47,12 @@ _BACKENDS = ("auto", "xla", "pallas", "dense", "gather", "banded", "pil_exact")
 def _pick_method(spec: AxisSpec, backend: str, on_tpu: bool) -> str:
     if backend not in _BACKENDS:
         raise ValueError(f"unknown backend {backend!r}; expected one of {_BACKENDS}")
+    if backend == "pil_exact":
+        raise ValueError(
+            "backend='pil_exact' is only available through resize() on uint8 "
+            "images (it is a whole-pipeline integer emulation, not a per-axis "
+            "float pass)"
+        )
     if backend in ("dense", "gather", "banded", "pallas"):
         return backend
     if backend == "xla" or not on_tpu:
@@ -89,6 +95,24 @@ def _apply_axis(x: jax.Array, spec: AxisSpec, axis: int, backend: str) -> jax.Ar
     return fn(x, spec, axis)
 
 
+# Per-axis pass with its own exact-adjoint VJP (used by resize_nd, whose
+# passes may route to raw pallas_call kernels that have no transpose rule).
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _apply_axis_vjp(x, spec, axis, backend):
+    return _apply_axis(x, spec, axis, backend)
+
+
+def _aa_fwd(x, spec, axis, backend):
+    return _apply_axis(x, spec, axis, backend), None
+
+
+def _aa_bwd(spec, axis, backend, _res, g):
+    return (_transpose_axis(g, spec, axis),)
+
+
+_apply_axis_vjp.defvjp(_aa_fwd, _aa_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Separable 2-D plane resize with custom VJP
 # ---------------------------------------------------------------------------
@@ -128,13 +152,12 @@ def _resize_plane_impl(
             return resize2d_streamed(
                 x, spec_h, spec_w, out_dtype=x.dtype, inter_dtype=inter
             )
-        if resize2d_supported(x, spec_h, spec_w):
+        if resize2d_supported(x, spec_h, spec_w, inter_dtype=inter):
             if debug_enabled():
                 print("[ia-tpu] fused 2-pass pipeline (float)")
             # bf16 video: a bf16 intermediate halves inter-pass HBM traffic
             # and is exact as a bf16 MXU operand; its rounding (2^-9 rel) is
             # below the bf16 output quantisation (2^-8).
-            inter = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
             return resize2d_pallas(
                 x, spec_h, spec_w, out_dtype=x.dtype, inter_dtype=inter
             )
@@ -283,14 +306,25 @@ def resize(
       we match Pillow, the shared oracle.
     """
     if options is not None:
+        explicit = (
+            method != "bilinear"
+            or antialias is not True
+            or align_corners is not False
+            or backend is not None
+            or output_dtype is not None
+            or scale_factors is not None
+        )
+        if explicit:
+            raise ValueError(
+                "pass either options=ResizeOptions(...) or the individual "
+                "keyword arguments, not both"
+            )
         method = options.method
         antialias = options.antialias
         align_corners = options.align_corners
         backend = options.backend
         data_format = options.data_format if options.data_format else data_format
-        output_dtype = (
-            options.output_dtype if options.output_dtype is not None else output_dtype
-        )
+        output_dtype = options.output_dtype
     oh, ow = int(size[0]), int(size[1])
     h_axis, w_axis = _axes_for(x, data_format)
     in_dtype = x.dtype
@@ -329,8 +363,13 @@ def resize(
             resize2d_supported,
         )
 
-        spec_w = make_axis_spec(x.shape[w_axis], ow, method, antialias, align_corners)
-        spec_h = make_axis_spec(x.shape[h_axis], oh, method, antialias, align_corners)
+        sfh, sfw = scale_factors if scale_factors is not None else (None, None)
+        spec_w = make_axis_spec(
+            x.shape[w_axis], ow, method, antialias, align_corners, sfw
+        )
+        spec_h = make_axis_spec(
+            x.shape[h_axis], oh, method, antialias, align_corners, sfh
+        )
         trailing_hw = h_axis == x.ndim - 2 and w_axis == x.ndim - 1
         channels_last = h_axis == x.ndim - 3 and w_axis == x.ndim - 2
         odt = jnp.dtype(out_dtype_resolved)
@@ -355,6 +394,12 @@ def resize(
                     print("[ia-tpu] uint8 single-kernel pipeline via NCHW transpose")
                 return jnp.moveaxis(
                     resize2d_onekernel(xt, spec_h, spec_w, out_dtype=odt), -3, -1
+                )
+            if resize2d_streamed_supported(xt, spec_h, spec_w, odt):
+                if debug_enabled():
+                    print("[ia-tpu] uint8 streamed pipeline via NCHW transpose")
+                return jnp.moveaxis(
+                    resize2d_streamed(xt, spec_h, spec_w, out_dtype=odt), -3, -1
                 )
             if resize2d_supported(xt, spec_h, spec_w):
                 if debug_enabled():
@@ -476,7 +521,7 @@ def resize_nd(
     order = sorted(zip(axes, sizes), key=lambda t: -(t[0] % x.ndim))
     for ax, sz in order:  # innermost axis first, like the separable driver
         spec = make_axis_spec(y.shape[ax], int(sz), method, antialias, align_corners)
-        y = _apply_axis(y, spec, ax % y.ndim, backend)
+        y = _apply_axis_vjp(y, spec, ax % y.ndim, backend)
     if x.dtype == jnp.uint8:
         y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0).astype(jnp.uint8)
     return y

@@ -94,3 +94,20 @@ def test_vmap_and_second_order(rng):
 
     with pytest.raises(TypeError, match="forward-mode"):
         jax.jvp(f, (x[0],), (x[0],))
+
+
+def test_resize_nd_grad_all_backends(rng):
+    """resize_nd must be differentiable regardless of backend routing
+    (regression: per-axis pallas passes had no transpose rule)."""
+    x = jnp.asarray(rng.random((2, 24, 28, 32)).astype(np.float32))
+    ref = None
+    for backend in ["xla", "pallas", "dense", "gather"]:
+        g = jax.grad(
+            lambda t: (ia.resize_nd(t, (12, 14, 16), (-3, -2, -1),
+                                    backend=backend) ** 2).sum()
+        )(x)
+        assert g.shape == x.shape and bool(jnp.isfinite(g).all()), backend
+        if ref is None:
+            ref = np.asarray(g)
+        else:
+            np.testing.assert_allclose(np.asarray(g), ref, atol=5e-3)

@@ -135,3 +135,22 @@ def test_unknown_backend_raises(rng):
     x = jnp.asarray(rng.random((1, 3, 20, 20)).astype(np.float32))
     with pytest.raises(ValueError, match="unknown backend"):
         ia.resize(x, (10, 10), backend="bogus")
+
+
+def test_options_kwargs_conflict(rng):
+    import interpolate_antialiasing_tpu as ia
+
+    x = jnp.asarray(rng.random((1, 3, 20, 20)).astype(np.float32))
+    with pytest.raises(ValueError, match="not both"):
+        ia.resize(x, (10, 10), method="bicubic",
+                  options=ia.ResizeOptions(method="bilinear"))
+
+
+def test_pil_exact_rejected_outside_resize(rng):
+    import interpolate_antialiasing_tpu as ia
+
+    x = jnp.asarray(rng.random((1, 3, 20, 20)).astype(np.float32))
+    with pytest.raises(ValueError, match="pil_exact"):
+        ia.resize_plane(x, (10, 10), 2, 3, backend="pil_exact")
+    with pytest.raises(ValueError, match="pil_exact"):
+        ia.resize_nd(x, (10, 10), (-2, -1), backend="pil_exact")
