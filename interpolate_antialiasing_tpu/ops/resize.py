@@ -33,7 +33,8 @@ from .resize_xla import (
     resize_axis_gather,
 )
 
-__all__ = ["resize", "resize_plane", "resize_plane_vjp", "interpolate", "resize_nd"]
+__all__ = ["resize", "resize_plane", "resize_plane_vjp", "interpolate",
+           "resize_nd", "image_resize"]
 
 
 # ---------------------------------------------------------------------------

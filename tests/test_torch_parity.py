@@ -62,3 +62,19 @@ def test_upsample_aa_matches_torch(rng):
     ref = _torch_resize(x, (100, 90), "bilinear", True, False)
     y = np.asarray(ia.resize_plane(jnp.asarray(x), (100, 90), 2, 3, backend="dense"))
     np.testing.assert_allclose(y, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_nearest_exact_parity(rng):
+    """method='nearest', antialias=False reproduces torch's 'nearest-exact'
+    (the corrected rounding; torch's legacy 'nearest' uses an asymmetric
+    floor that even PyTorch documents as a bug kept for compatibility)."""
+    torch = pytest.importorskip("torch")
+    x = (rng.random((2, 3, 17, 29)) * 255).astype(np.float32)
+    for size in [(9, 14), (3, 4), (34, 58)]:
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=size, mode="nearest-exact"
+        ).numpy()
+        y = np.asarray(
+            ia.resize(jnp.asarray(x), size, method="nearest", antialias=False)
+        )
+        np.testing.assert_array_equal(y, ref)
