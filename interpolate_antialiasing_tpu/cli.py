@@ -150,7 +150,10 @@ def run_backward(args, img) -> None:
     from .ops.resize import resize_plane
 
     w, h = tuple(args.size) if args.size else (64, 48)
-    x = jnp.asarray(img[:, :128, :160], dtype=jnp.float32)[None]
+    # [0,1] scale: finite differences in f32 are ill-conditioned on 0..255
+    # magnitudes (the reference ran gradcheck in f64 for the same reason,
+    # test.py:394-398)
+    x = jnp.asarray(img[:, :128, :160], dtype=jnp.float32)[None] / 255.0
     f = lambda t: resize_plane(t, (h, w), 2, 3, mode=args.mode)
     y, vjp = jax.vjp(f, x)
     (gx,) = vjp(jnp.ones_like(y))

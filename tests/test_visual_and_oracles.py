@@ -154,3 +154,30 @@ def test_pil_exact_rejected_outside_resize(rng):
         ia.resize_plane(x, (10, 10), 2, 3, backend="pil_exact")
     with pytest.raises(ValueError, match="pil_exact"):
         ia.resize_nd(x, (10, 10), (-2, -1), backend="pil_exact")
+
+
+def test_cli_accuracy_and_backward(capsys, tmp_path):
+    """Smoke the remaining CLI branches (accuracy sweep, save, backward)."""
+    from interpolate_antialiasing_tpu.cli import main
+
+    out_png = tmp_path / "out.png"
+    main(["--mode", "bilinear", "--size", "40", "24", "--save", str(out_png),
+          "--backend", "xla"])
+    cap = capsys.readouterr().out
+    assert "MAE=" in cap and "MaxAbsE=" in cap
+    assert out_png.exists()
+
+    main(["--backward", "--size", "16", "12"])
+    cap = capsys.readouterr().out
+    assert "backward smoke" in cap and "finite-difference check passed" in cap
+
+
+def test_cli_bench_smoke(capsys):
+    from interpolate_antialiasing_tpu.cli import main
+
+    main(["--bench", "--size", "24", "16", "--batch", "1"])
+    out = capsys.readouterr().out
+    import json
+
+    row = json.loads(out.strip().splitlines()[-1])
+    assert "pil_ms" in row and row["size"] == "24x16"
