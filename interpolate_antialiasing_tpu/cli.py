@@ -177,9 +177,7 @@ def run_inspect(args, img) -> None:
     if args.dump_hlo:
         from .ops.resize import resize
 
-        x = jnp.asarray(
-            __import__("numpy").stack([img] * args.batch)
-        )
+        x = jnp.asarray(np.stack([img] * args.batch))
         txt = compiled_text(
             lambda t: resize(t, (h, w), method=args.mode, backend=args.backend), x
         )

@@ -27,10 +27,9 @@ if _HAVE_FLAX:
 
         @nn.compact
         def __call__(self, x):
-            if self.data_format in ("NCHW", "CHW"):
-                h_axis, w_axis = -2, -1
-            else:
-                h_axis, w_axis = -3, -2
+            from ..ops.resize import _axes_for
+
+            h_axis, w_axis = _axes_for(x, self.data_format)
             return resize_plane(
                 x, self.out_hw, h_axis % x.ndim, w_axis % x.ndim,
                 mode=self.method, antialias=self.antialias,

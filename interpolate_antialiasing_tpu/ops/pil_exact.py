@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .weights import compute_tables, make_axis_spec
+from .weights import dense_matrix, make_axis_spec
 
 __all__ = ["resize_pil_exact", "PRECISION_BITS"]
 
@@ -39,18 +39,14 @@ PRECISION_BITS = 32 - 8 - 2  # Pillow Resample.c
 
 @cache
 def _int_matrix(in_size: int, out_size: int, mode: str) -> np.ndarray:
-    """Dense [out, in] int32 coefficient matrix, Pillow-normalised."""
+    """Dense [out, in] int32 coefficient matrix, Pillow-normalised
+    (normalize_coeffs_8bpc: trunc(w * 2^22 ± 0.5), i.e. round half away
+    from zero — applied to the float64 banded matrix, whose zeros quantise
+    to zero)."""
     spec = make_axis_spec(in_size, out_size, mode, antialias=True)
-    xmin, size, w = compute_tables(spec, dtype=np.float64)
-    scaled = w * (1 << PRECISION_BITS)
-    kk = np.where(scaled < 0, scaled - 0.5, scaled + 0.5).astype(np.int64)
-    kk = kk.astype(np.int32)  # normalize_coeffs_8bpc: trunc(w*2^22 ± 0.5)
-    M = np.zeros((out_size, in_size), dtype=np.int32)
-    taps = np.arange(w.shape[1])
-    for o in range(out_size):
-        k = xmin[o] + taps[: size[o]]
-        M[o, k] = kk[o, : size[o]]
-    return M
+    W = dense_matrix(spec, dtype=np.float64)
+    scaled = W * (1 << PRECISION_BITS)
+    return np.where(scaled < 0, scaled - 0.5, scaled + 0.5).astype(np.int32)
 
 
 def _clip8(acc: jax.Array) -> jax.Array:
