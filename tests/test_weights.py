@@ -138,3 +138,32 @@ def test_degenerate_sizes():
         spec = make_axis_spec(insz, outsz, "bilinear")
         W = dense_matrix(spec, dtype=np.float64)
         np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-12)
+
+
+def test_table_invariants_random_sweep():
+    """Broad property sweep (SURVEY §4): for ~150 random (in,out,mode) pairs,
+    rows sum to 1, window starts are monotone, tap counts respect the static
+    bound, and the banded-tile reconstruction equals the dense matrix."""
+    rng = np.random.default_rng(7)
+    for _ in range(150):
+        insz = int(rng.integers(1, 700))
+        outsz = int(rng.integers(1, 700))
+        mode = ["bilinear", "bicubic", "box", "lanczos3"][int(rng.integers(4))]
+        spec = make_axis_spec(insz, outsz, mode)
+        xmin, size, w = compute_tables(spec, dtype=np.float64)
+        assert (size >= 1).all() and (size <= spec.ntaps).all()
+        assert (np.diff(xmin) >= 0).all(), (insz, outsz, mode)
+        assert (xmin >= 0).all() and (xmin + size <= insz).all()
+        sums = w.sum(axis=1)
+        np.testing.assert_allclose(sums[np.abs(sums) > 1e-12], 1.0, atol=1e-12)
+        # banded tiles reconstruct the dense matrix exactly
+        W = dense_matrix(spec, dtype=np.float64)
+        bt = banded_tiles(spec, tile=128, dtype=np.float64, align=1, in_cap=insz)
+        R = np.zeros_like(W)
+        for t in range(bt.n_tiles):
+            o0 = t * 128
+            o1 = min(o0 + 128, outsz)
+            seg = bt.band[t, :, : o1 - o0].T  # [out_tile, k_in]
+            s = int(bt.starts[t])
+            R[o0:o1, s : s + bt.k_in] += seg[:, : min(bt.k_in, insz - s)]
+        np.testing.assert_allclose(R, W, atol=0)
