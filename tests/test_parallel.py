@@ -70,3 +70,26 @@ def test_full_2d_sharded_pipeline(rng):
     y = sharded(xs)
     ref = ia.resize_plane(x, (32, 48), 2, 3, mode="bilinear", backend="dense")
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
+
+
+def test_train_pipeline_batch_sharded(rng):
+    """DP preprocessing at scale: the full train-aug pipeline under jit with
+    a batch-sharded input keeps the output batch-sharded and matches the
+    unsharded run exactly (per-image RNG derives from the key, not the
+    device placement)."""
+    from interpolate_antialiasing_tpu.models import ImageNetTrainPipeline
+
+    mesh = make_mesh()
+    pipe = ImageNetTrainPipeline(size=(16, 16))
+    x = jnp.asarray((np.stack([
+        (rng.random((3, 40, 56)) * 255) for _ in range(8)
+    ])).astype(np.uint8))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+    key = jax.random.PRNGKey(3)
+
+    f = jax.jit(pipe, in_shardings=(None, NamedSharding(mesh, P("data"))),
+                out_shardings=NamedSharding(mesh, P("data")))
+    ys = f(key, xs)
+    assert ys.sharding.spec[0] == "data"  # batch axis stays sharded
+    y_ref = jax.jit(pipe)(key, x)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(y_ref), atol=1e-5)
