@@ -446,7 +446,22 @@ def interpolate(
     data_format: str | None = None,
     backend: str | None = None,
 ) -> jax.Array:
-    """torch.nn.functional.interpolate-shaped shim over :func:`resize`."""
+    """torch.nn.functional.interpolate-shaped shim over :func:`resize`.
+
+    torch mode aliases are honoured: ``area`` maps to the antialiased box
+    filter — identical to torch's adaptive-average-pool semantics for
+    integer scale ratios, but for fractional ratios the window-inclusion
+    rules differ (torch includes partially-overlapped edge pixels at full
+    weight; the PIL box filter includes taps by centre position), so
+    values diverge there.  ``nearest`` / ``nearest-exact`` disable
+    antialias (both map to this library's nearest, which matches torch's
+    *nearest-exact* rounding — the legacy asymmetric ``nearest`` is not
+    reproduced).
+    """
+    if mode == "area":
+        mode, antialias = "box", True
+    elif mode in ("nearest", "nearest-exact"):
+        mode, antialias = "nearest", False
     h_axis, w_axis = _axes_for(x, data_format)
     sf = None
     if size is None:

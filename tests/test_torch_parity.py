@@ -78,3 +78,22 @@ def test_nearest_exact_parity(rng):
             ia.resize(jnp.asarray(x), size, method="nearest", antialias=False)
         )
         np.testing.assert_array_equal(y, ref)
+
+
+def test_interpolate_mode_aliases(rng):
+    """torch F.interpolate mode aliases: 'area' (== adaptive-avg-pool for
+    INTEGER scale ratios; fractional ratios diverge, see interpolate's
+    docstring) and 'nearest'/'nearest-exact' (no antialias)."""
+    torch = pytest.importorskip("torch")
+    x = (rng.random((1, 3, 24, 36)) * 255).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(6, 9), mode="area"
+    ).numpy()
+    y = np.asarray(ia.interpolate(jnp.asarray(x), size=(6, 9), mode="area"))
+    np.testing.assert_allclose(y, ref, atol=1e-3)
+    refn = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(12, 18), mode="nearest-exact"
+    ).numpy()
+    yn = np.asarray(ia.interpolate(jnp.asarray(x), size=(12, 18),
+                                   mode="nearest-exact"))
+    np.testing.assert_array_equal(yn, refn)
