@@ -43,7 +43,9 @@ def main() -> None:
     def fn(batch_u8):
         return ia.resize(batch_u8, (oh, ow), method="bilinear")
 
-    res = time_jit_loop(fn, x, iters=10, repeats=3)
+    # iters amortise the one dispatch per loop; repeats take a median across
+    # chip-speed fluctuations (the shared dev tunnel varies +-40%)
+    res = time_jit_loop(fn, x, iters=20, repeats=5)
     mpix = batch * oh * ow / res.seconds / 1e6
 
     print(
