@@ -36,7 +36,8 @@ class ResizeOptions:
     method: str = "bilinear"
     antialias: bool = True
     align_corners: bool = False
-    backend: str = "auto"  # auto | xla | pallas | dense | gather | banded
+    # None defers to the IA_TPU_BACKEND env override / "auto"
+    backend: str | None = None
     data_format: str | None = None  # NCHW | NHWC | ... (None = infer)
     output_dtype: object = None
 

@@ -39,6 +39,12 @@ def _axis_matrix(lo, hi, in_size: int, out_size: int, mode: str, antialias: bool
     rows renormalised; taps outside [0, in_size) excluded (PIL border
     renormalisation).
     """
+    # match the library's non-AA convention (weights.make_axis_spec): the
+    # classic bicubic is Keys a=-0.75.  Borders still renormalise (the
+    # replicate fold is not expressible in a traced dense grid) — a
+    # documented divergence from the classic path at crop edges.
+    if not antialias and get_filter(mode).name in ("bicubic", "cubic"):
+        mode = "bicubic075"
     filt = get_filter(mode)
     span = hi - lo
     scale = span / out_size  # source pixels per output pixel
@@ -64,7 +70,11 @@ def _axis_matrix(lo, hi, in_size: int, out_size: int, mode: str, antialias: bool
     )
     w = jnp.where(valid, w, 0.0)
     total = jnp.sum(w, axis=1, keepdims=True)
-    return w / jnp.where(total == 0.0, 1.0, total)
+    # Degenerate sub-pixel boxes can trap no pixel centre at all; fall back
+    # to nearest-pixel sampling instead of returning black rows.
+    nearest = jnp.clip(jnp.round(center - 0.5), 0.0, float(in_size - 1))
+    onehot = (i == nearest).astype(w.dtype)
+    return jnp.where(total > 0.0, w / jnp.where(total == 0.0, 1.0, total), onehot)
 
 
 def crop_and_resize(

@@ -1031,9 +1031,17 @@ def resize2d_onekernel_transpose(
 
 @functools.cache
 def _tiles_stream_cached(spec: AxisSpec) -> BandedTiles:
-    # Dynamic DMA row offsets must be sublane-aligned; in_cap=in_size keeps
-    # windows inside the unpadded input (requires in_size % 8 == 0, checked
-    # by the caller, so the clamped start H - k_in stays a multiple of 8).
+    # Dynamic DMA row offsets are 8-aligned; in_cap=in_size keeps windows
+    # inside the unpadded input (requires in_size % 8 == 0, checked by the
+    # caller, so the clamped start H - k_in stays a multiple of 8).
+    # Note: 8 is the HBM *memref* row-tile granularity for DMA slicing and
+    # differs from the VMEM vector-slice sublane rule (_sublane(dtype):
+    # 16/32 for bf16/u8) used by the pl.ds kernels — validated on hardware:
+    # the uint8 440x1024 case (starts = {0, 280}; 280 % 32 != 0) and the
+    # bf16 4K case (starts % 16 != 0) both run bit-identical to the padded
+    # pipeline on the real chip (tests/test_resize2d_fused.py STREAM_CASES
+    # cover the math in interpret mode; the hardware check is in the
+    # commit-time verification log).
     return banded_tiles(spec, tile=_LANE, dtype=np.float32, align=8,
                         in_cap=spec.in_size)
 

@@ -535,9 +535,14 @@ def resize_nd(
     cdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     y = x.astype(cdtype)
     order = sorted(zip(axes, sizes), key=lambda t: -(t[0] % x.ndim))
+    # Pallas passes need the custom-VJP wrapper (pallas_call has no
+    # transpose rule); the pure-XLA passes stay unwrapped so they keep
+    # native forward-mode (jvp) support.
+    may_use_pallas = backend == "pallas" or (backend == "auto" and _on_tpu())
+    apply = _apply_axis_vjp if may_use_pallas else _apply_axis
     for ax, sz in order:  # innermost axis first, like the separable driver
         spec = make_axis_spec(y.shape[ax], int(sz), method, antialias, align_corners)
-        y = _apply_axis_vjp(y, spec, ax % y.ndim, backend)
+        y = apply(y, spec, ax % y.ndim, backend)
     if x.dtype == jnp.uint8:
         y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0).astype(jnp.uint8)
     return y

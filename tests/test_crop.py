@@ -85,3 +85,24 @@ def test_image_resize_signature(rng):
     assert ia.image_resize(x, x.shape) is x
     with pytest.raises(ValueError):
         ia.image_resize(x, (20, 30))
+
+
+def test_subpixel_box_samples_nearest(rng):
+    """Degenerate boxes trapping no pixel centre fall back to nearest-pixel
+    sampling instead of returning black output."""
+    x = jnp.asarray(np.full((1, 1, 100, 100), 200.0, np.float32))
+    boxes = jnp.asarray([[0.501, 0.501, 0.504, 0.504]])
+    y = crop_and_resize(x, boxes, (4, 4))
+    np.testing.assert_allclose(np.asarray(y), 200.0, atol=1e-4)
+
+
+def test_crop_nonaa_bicubic_convention(rng):
+    """antialias=False bicubic uses Keys a=-0.75 like resize() does."""
+    x = jnp.asarray(rng.random((1, 1, 32, 32)).astype(np.float32) * 255)
+    full = jnp.asarray([[0.0, 0.0, 1.0, 1.0]])
+    y = crop_and_resize(x, full, (64, 64), method="bicubic", antialias=False)
+    ref = ia.resize(x, (64, 64), method="bicubic", antialias=False,
+                    backend="xla")
+    # interior matches exactly; borders differ (renorm vs replicate fold)
+    err = float(jnp.max(jnp.abs(y[..., 4:-4, 4:-4] - ref[..., 4:-4, 4:-4])))
+    assert err < 1e-3, err

@@ -111,3 +111,12 @@ def test_resize_nd_grad_all_backends(rng):
             ref = np.asarray(g)
         else:
             np.testing.assert_allclose(np.asarray(g), ref, atol=5e-3)
+
+
+def test_resize_nd_jvp_on_xla_paths(rng):
+    """Forward-mode works for resize_nd on the XLA backends (only the
+    Pallas-routed passes need the jvp-less custom-VJP wrapper)."""
+    x = jnp.asarray(rng.random((2, 10, 12)).astype(np.float32))
+    f = lambda t: ia.resize_nd(t, (5, 6), (-2, -1), backend="xla")
+    y, tang = jax.jvp(f, (x,), (x,))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(tang), atol=1e-5)
