@@ -10,7 +10,8 @@ from __future__ import annotations
 import dataclasses
 import os
 
-__all__ = ["ResizeOptions", "debug_enabled", "default_backend"]
+__all__ = ["ResizeOptions", "debug_enabled", "default_backend",
+           "default_precision"]
 
 
 def debug_enabled() -> bool:
@@ -22,6 +23,27 @@ def debug_enabled() -> bool:
 def default_backend() -> str:
     """Override backend selection globally (auto|xla|pallas)."""
     return os.environ.get("IA_TPU_BACKEND", "auto")
+
+
+_PRECISIONS = ("split", "bf16", "f32")
+
+
+def default_precision() -> str:
+    """Pallas-kernel MXU precision dial (IA_TPU_PRECISION env):
+
+      * ``split`` (default) — 1-3 bf16 passes with exact-operand skipping;
+        Pillow MaxAbsE stays 1 (measured headline: 3.60 ms / batch-256).
+      * ``bf16``  — single bf16 pass, ~1.5x faster, MaxAbsE 2 (2.44 ms).
+      * ``f32``   — Mosaic HIGHEST (~6 passes), slowest, for diagnostics
+        (6.50 ms).
+
+    The rebuild of the reference's ``--flags avx`` compile-speed presets
+    (test.py:315-320), as a runtime knob.
+    """
+    v = os.environ.get("IA_TPU_PRECISION", "split")
+    if v not in _PRECISIONS:
+        raise ValueError(f"IA_TPU_PRECISION={v!r}; expected one of {_PRECISIONS}")
+    return v
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import debug_enabled
+from ..config import debug_enabled, default_precision
 from .weights import AxisSpec, BandedTiles, banded_tiles
 
 __all__ = ["resize_axis_pallas", "pallas_supported"]
@@ -83,6 +83,19 @@ def _store(o_ref, idx, val_f32, out_dtype):
         o_ref[idx] = v.astype(jnp.int32).astype(jnp.uint8)
     else:
         o_ref[idx] = val_f32.astype(out_dtype)
+
+
+def _resolve_precision(precision):
+    """Map the public dial (split|bf16|f32, env IA_TPU_PRECISION) to the
+    kernel-level precision argument; pass-through for explicit jax
+    Precision values or 'split'."""
+    if precision == "default":
+        precision = default_precision()
+    if precision == "bf16":
+        return jax.lax.Precision.DEFAULT
+    if precision == "f32":
+        return jax.lax.Precision.HIGHEST
+    return precision
 
 
 def _mxu_dot(a, b, dims, precision, a_exact_bf16=False, b_exact_bf16=False):
@@ -545,7 +558,7 @@ def resize_axis_pallas(
     spec: AxisSpec,
     axis: int,
     fused: bool = False,
-    precision="split",
+    precision="default",
     out_dtype=None,
 ) -> jax.Array:
     """Resize ``axis`` of ``x`` (any rank) with the Pallas banded kernels.
@@ -559,6 +572,7 @@ def resize_axis_pallas(
     ``out_dtype`` may be uint8 (PIL-style round+clip in-kernel), bfloat16
     or float32.  Default out_dtype: f32 for u8 inputs, else x.dtype.
     """
+    precision = _resolve_precision(precision)
     if x.shape[axis] != spec.in_size:
         raise ValueError(f"axis {axis} has {x.shape[axis]} != {spec.in_size}")
     if fused and (spec.mode in ("box", "nearest") or spec.border != "renorm"):
@@ -639,7 +653,7 @@ def resize2d_pallas(
     spec_w: AxisSpec,
     out_dtype=None,
     inter_dtype=jnp.float32,
-    precision="split",
+    precision="default",
     fused: bool = False,
 ) -> jax.Array:
     """Separable 2-D resize of the trailing [H, W] axes with one input pad
@@ -652,6 +666,7 @@ def resize2d_pallas(
     padded [B, H_pad, OW_padded] form and never round-trips through
     pad/slice copies.
     """
+    precision = _resolve_precision(precision)
     if out_dtype is None:
         out_dtype = jnp.float32 if x.dtype == jnp.uint8 else x.dtype
     out_dtype = jnp.dtype(out_dtype)
@@ -879,7 +894,7 @@ def resize2d_onekernel(
     spec_h: AxisSpec,
     spec_w: AxisSpec,
     out_dtype=None,
-    precision="split",
+    precision="default",
     tiles_w: BandedTiles | None = None,
     tiles_h: BandedTiles | None = None,
     out_h: int | None = None,
@@ -894,6 +909,7 @@ def resize2d_onekernel(
     to the reference's whole optimisation journey (its best CPU kernel
     still paid two full passes over HBM-resident intermediates;
     step_two_dot_two/aa_interpolation_impl.h:655-679)."""
+    precision = _resolve_precision(precision)
     if out_dtype is None:
         out_dtype = jnp.float32 if x.dtype == jnp.uint8 else x.dtype
     out_dtype = jnp.dtype(out_dtype)
@@ -1000,7 +1016,7 @@ def resize2d_onekernel_transpose_supported(
 
 
 def resize2d_onekernel_transpose(
-    g: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec, precision="split"
+    g: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec, precision="default"
 ) -> jax.Array:
     """Fused backward: apply ``W_w^T`` then ``W_h^T`` to the cotangent in one
     pallas_call (replaces two padded per-axis adjoint calls)."""
@@ -1139,10 +1155,11 @@ def resize2d_streamed(
     spec_w: AxisSpec,
     out_dtype=None,
     inter_dtype=jnp.float32,
-    precision="split",
+    precision="default",
 ) -> jax.Array:
     """Separable 2-D resize of trailing [H, W] in one pallas_call, streaming
     halo'd row windows for images whose full height does not fit VMEM."""
+    precision = _resolve_precision(precision)
     if out_dtype is None:
         out_dtype = jnp.float32 if x.dtype == jnp.uint8 else x.dtype
     out_dtype = jnp.dtype(out_dtype)
@@ -1227,13 +1244,14 @@ def transpose_supported(g: jax.Array, spec: AxisSpec, axis: int) -> bool:
 
 
 def resize_axis_transpose_pallas(
-    g: jax.Array, spec: AxisSpec, axis: int, precision="split"
+    g: jax.Array, spec: AxisSpec, axis: int, precision="default"
 ) -> jax.Array:
     """Apply the adjoint ``W^T`` of ``spec`` along ``axis`` — the Pallas
     backward pass.  ``g`` has ``spec.out_size`` along ``axis``; the result
     has ``spec.in_size``.  This replaces the reference's (incorrect) non-AA
     C++ backward (aa_interpolation_backward_impl.h) with the true adjoint
     running on the same banded MXU kernels."""
+    precision = _resolve_precision(precision)
     if g.shape[axis % g.ndim] != spec.out_size:
         raise ValueError(
             f"axis {axis} has {g.shape[axis % g.ndim]} != {spec.out_size}"
