@@ -49,6 +49,23 @@ def _int_matrix(in_size: int, out_size: int, mode: str) -> np.ndarray:
     return np.where(scaled < 0, scaled - 0.5, scaled + 0.5).astype(np.int32)
 
 
+@cache
+def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+    """Pillow NEAREST source indices: Image.resize(NEAREST) goes through the
+    incremental affine scaler (ImagingScaleAffine), which starts at
+    ``xin = 0.5 * a`` and truncates after repeated ``xin += a`` float64
+    additions — the accumulation drift is observable and must be reproduced
+    addition-by-addition for bit parity (verified empirically across
+    down/up/mixed sizes)."""
+    a = in_size / out_size
+    xin = a * 0.5
+    idx = np.empty(out_size, np.int32)
+    for o in range(out_size):
+        idx[o] = min(max(int(xin), 0), in_size - 1)
+        xin += a
+    return idx
+
+
 def _clip8(acc: jax.Array) -> jax.Array:
     """Pillow clip8: arithmetic shift then clamp to [0, 255]."""
     v = acc >> PRECISION_BITS
@@ -86,6 +103,13 @@ def resize_pil_exact(
     oh, ow = int(size[0]), int(size[1])
     h_axis, w_axis = _axes_for(x, data_format)
     h_axis, w_axis = h_axis % x.ndim, w_axis % x.ndim
+    if method == "nearest":
+        # PIL NEAREST is a point sample through the affine scaler, not the
+        # resample machinery — a pure index gather, trivially bit-exact.
+        y = jnp.take(x, jnp.asarray(_nearest_indices(x.shape[h_axis], oh)),
+                     axis=h_axis)
+        return jnp.take(y, jnp.asarray(_nearest_indices(x.shape[w_axis], ow)),
+                        axis=w_axis)
     Mh = jnp.asarray(_int_matrix(x.shape[h_axis], oh, method))
     Mw = jnp.asarray(_int_matrix(x.shape[w_axis], ow, method))
     # Pillow: horizontal pass first, uint8 intermediate, then vertical.

@@ -15,6 +15,7 @@ PIL_MODES = {
     "bicubic": PIL.BICUBIC,
     "lanczos3": PIL.LANCZOS,
     "box": PIL.BOX,
+    "nearest": PIL.NEAREST,
 }
 
 SIZES = [(438, 906, 196, 320), (57, 83, 24, 31), (96, 120, 196, 1200),
