@@ -25,6 +25,7 @@ enum FilterId : int32_t {
   kBicubic = 2,
   kLanczos3 = 3,
   kBicubic075 = 4,  // classic (non-AA) torch/OpenCV convention
+  kHamming = 5,
 };
 
 enum BorderId : int32_t {
@@ -56,6 +57,14 @@ inline double sinc(double x) {
   return std::sin(pix) / pix;
 }
 
+inline double hamming(double x) {
+  x = std::fabs(x);
+  if (x >= 1.0) return 0.0;
+  if (x == 0.0) return 1.0;
+  const double pix = M_PI * x;
+  return std::sin(pix) / pix * (0.54 + 0.46 * std::cos(pix));
+}
+
 inline double lanczos3(double x) {
   return std::fabs(x) < 3.0 ? sinc(x) * sinc(x / 3.0) : 0.0;
 }
@@ -66,6 +75,7 @@ inline double eval(int32_t f, double x) {
     case kBox: return box(x);
     case kBicubic: return keys_cubic(x);
     case kBicubic075: return keys_cubic_a(x, -0.75);
+    case kHamming: return hamming(x);
     default: return lanczos3(x);
   }
 }
@@ -76,6 +86,7 @@ inline double filter_support(int32_t f) {
     case kBox: return 0.5;
     case kBicubic: return 2.0;
     case kBicubic075: return 2.0;
+    case kHamming: return 1.0;
     default: return 3.0;
   }
 }

@@ -24,11 +24,12 @@ SIZES = [(320, 196), (460, 220), (120, 96), (1200, 196), (120, 1200)]
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("interpolate_antialiasing_tpu")
     p.add_argument("--mode", default="bilinear",
-                   choices=["bilinear", "nearest", "bicubic", "box", "lanczos3"])
+                   choices=["bilinear", "nearest", "bicubic", "box", "lanczos3", "hamming"])
     p.add_argument("--size", nargs=2, type=int, default=None,
                    metavar=("W", "H"), help="output size (PIL order: W H)")
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "xla", "pallas", "dense", "gather", "banded"])
+                   choices=["auto", "xla", "pallas", "dense", "gather", "banded",
+                            "pil_exact"])
     p.add_argument("--bench", action="store_true", help="run the benchmark table")
     p.add_argument("--profile", action="store_true", help="emit a jax profiler trace")
     p.add_argument("--backward", action="store_true", help="run backward + grad check")

@@ -29,6 +29,7 @@ FILTER_IDS = {
     "cubic": 2,
     "lanczos3": 3,
     "bicubic075": 4,
+    "hamming": 5,
 }
 
 _lock = threading.Lock()

@@ -29,6 +29,7 @@ __all__ = [
     "box_filter",
     "keys_cubic_filter",
     "lanczos3_filter",
+    "hamming_filter",
 ]
 
 
@@ -107,6 +108,14 @@ def keys_cubic_075_filter(x, xp):
     return _keys_cubic(x, xp, -0.75)
 
 
+def hamming_filter(x, xp):
+    """Hamming-windowed sinc, support 1 (Pillow's HAMMING):
+    sinc(x) * (0.54 + 0.46 cos(pi x)) on |x| < 1."""
+    ax = xp.abs(x)
+    val = xp.sinc(x) * (0.54 + 0.46 * xp.cos(xp.pi * x))
+    return xp.where(ax < 1.0, val, xp.zeros_like(ax))
+
+
 def lanczos3_filter(x, xp):
     """Lanczos-3 windowed sinc (Pillow's LANCZOS). Extension beyond the
     reference's three filters; same table machinery applies."""
@@ -126,6 +135,7 @@ FILTERS: dict[str, Filter] = {
     "cubic": _FnFilter("cubic", 2.0, fn=keys_cubic_filter),
     "bicubic075": _FnFilter("bicubic075", 2.0, fn=keys_cubic_075_filter),
     "lanczos3": _FnFilter("lanczos3", 3.0, fn=lanczos3_filter),
+    "hamming": _FnFilter("hamming", 1.0, fn=hamming_filter),
 }
 
 

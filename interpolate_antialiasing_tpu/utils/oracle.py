@@ -38,6 +38,7 @@ def _pil_filter(mode: str):
             "box": Image.BOX,
             "nearest": Image.BOX,  # the reference's "nearest" is PIL's box AA filter
             "lanczos3": Image.LANCZOS,
+            "hamming": Image.HAMMING,
         }
     return _PIL_FILTERS[mode]
 

@@ -11,7 +11,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("mode", ["bilinear", "bicubic", "box", "lanczos3"])
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic", "box", "lanczos3", "hamming"])
 @pytest.mark.parametrize(
     "insz,outsz", [(906, 320), (438, 196), (10, 4), (4, 10), (1, 1), (906, 1200)]
 )

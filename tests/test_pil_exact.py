@@ -16,6 +16,7 @@ PIL_MODES = {
     "lanczos3": PIL.LANCZOS,
     "box": PIL.BOX,
     "nearest": PIL.NEAREST,
+    "hamming": PIL.HAMMING,
 }
 
 SIZES = [(438, 906, 196, 320), (57, 83, 24, 31), (96, 120, 196, 1200),
