@@ -58,11 +58,13 @@ inline double sinc(double x) {
 }
 
 inline double hamming(double x) {
+  // Pillow writes the window constants as float literals (0.54f/0.46f);
+  // exact doubles flip fixed-point coefficients by one ULP.
   x = std::fabs(x);
   if (x >= 1.0) return 0.0;
   if (x == 0.0) return 1.0;
   const double pix = M_PI * x;
-  return std::sin(pix) / pix * (0.54 + 0.46 * std::cos(pix));
+  return std::sin(pix) / pix * (double(0.54f) + double(0.46f) * std::cos(pix));
 }
 
 inline double lanczos3(double x) {

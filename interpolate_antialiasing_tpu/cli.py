@@ -192,6 +192,11 @@ def main(argv=None) -> None:
     if args.debug:
         os.environ["IA_TPU_DEBUG"] = "1"
     img = _load_image(args.image)
+    if args.backend == "pil_exact" and (args.profile or args.backward or args.bench):
+        build_parser().error(
+            "--backend pil_exact supports the accuracy run and --dump-hlo only "
+            "(it is a uint8 oracle pipeline, not a float kernel backend)"
+        )
     if args.inspect or args.dump_hlo:
         run_inspect(args, img)
     elif args.bench:

@@ -32,15 +32,17 @@ def default_precision() -> str:
     """Pallas-kernel MXU precision dial (IA_TPU_PRECISION env):
 
       * ``split`` (default) — 1-3 bf16 passes with exact-operand skipping;
-        Pillow MaxAbsE stays 1 (measured headline: 3.60 ms / batch-256).
-      * ``bf16``  — single bf16 pass, ~1.5x faster, MaxAbsE 2 (2.44 ms).
-      * ``f32``   — Mosaic HIGHEST (~6 passes), slowest, for diagnostics
-        (6.50 ms).
+        Pillow MaxAbsE stays 1.
+      * ``bf16``  — single bf16 pass, ~1.25x faster, MaxAbsE 2.
+      * ``f32``   — Mosaic HIGHEST (~6 passes), ~1.5x slower, diagnostics.
 
-    The rebuild of the reference's ``--flags avx`` compile-speed presets
-    (test.py:315-320), as a runtime knob.
+    Measured same-session on the batch-256 headline: 5.1 / 4.1 / 7.8 ms
+    (docs/STATUS.md).  The env var is read when a kernel is TRACED: set it
+    before the first call of a jitted function — already-compiled
+    executables do not retrace on env changes.  The rebuild of the
+    reference's ``--flags avx`` compile-speed presets (test.py:315-320).
     """
-    v = os.environ.get("IA_TPU_PRECISION", "split")
+    v = os.environ.get("IA_TPU_PRECISION", "split")  # read at TRACE time
     if v not in _PRECISIONS:
         raise ValueError(f"IA_TPU_PRECISION={v!r}; expected one of {_PRECISIONS}")
     return v

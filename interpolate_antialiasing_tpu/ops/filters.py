@@ -110,9 +110,17 @@ def keys_cubic_075_filter(x, xp):
 
 def hamming_filter(x, xp):
     """Hamming-windowed sinc, support 1 (Pillow's HAMMING):
-    sinc(x) * (0.54 + 0.46 cos(pi x)) on |x| < 1."""
+    sinc(x) * (0.54 + 0.46 cos(pi x)) on |x| < 1.
+
+    Pillow's Resample.c writes the window constants as FLOAT literals
+    (0.54f/0.46f); using exact doubles flips ~25% of fixed-point
+    coefficients by one ULP and breaks byte parity, so the float32-rounded
+    values are used here (verified across randomised size sweeps)."""
     ax = xp.abs(x)
-    val = xp.sinc(x) * (0.54 + 0.46 * xp.cos(xp.pi * x))
+    val = xp.sinc(x) * (0.5400000214576721 + 0.46000000834465027 * xp.cos(xp.pi * x))
+    # Pillow returns exactly 1.0 at x == 0 (the float constants sum to
+    # 1.0000000298..., so the windowed form must not be used there).
+    val = xp.where(ax == 0.0, xp.ones_like(val), val)
     return xp.where(ax < 1.0, val, xp.zeros_like(ax))
 
 

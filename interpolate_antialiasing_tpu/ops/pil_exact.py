@@ -103,9 +103,12 @@ def resize_pil_exact(
     oh, ow = int(size[0]), int(size[1])
     h_axis, w_axis = _axes_for(x, data_format)
     h_axis, w_axis = h_axis % x.ndim, w_axis % x.ndim
-    if method == "nearest":
-        # PIL NEAREST is a point sample through the affine scaler, not the
-        # resample machinery — a pure index gather, trivially bit-exact.
+    if method == "pil_nearest":
+        # PIL.Image.NEAREST is a point sample through the affine scaler,
+        # not the resample machinery — a pure index gather, trivially
+        # bit-exact.  It is named 'pil_nearest' here because this library
+        # (following the reference, test.py) uses 'nearest' for PIL's BOX
+        # antialias filter; the two are very different resamplers.
         y = jnp.take(x, jnp.asarray(_nearest_indices(x.shape[h_axis], oh)),
                      axis=h_axis)
         return jnp.take(y, jnp.asarray(_nearest_indices(x.shape[w_axis], ow)),

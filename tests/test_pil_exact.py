@@ -15,7 +15,8 @@ PIL_MODES = {
     "bicubic": PIL.BICUBIC,
     "lanczos3": PIL.LANCZOS,
     "box": PIL.BOX,
-    "nearest": PIL.NEAREST,
+    "nearest": PIL.BOX,  # library convention: nearest == PIL box AA
+    "pil_nearest": PIL.NEAREST,
     "hamming": PIL.HAMMING,
 }
 
@@ -66,3 +67,23 @@ def test_jit_compatible(rng):
     f = jax.jit(lambda t: ia.resize_pil_exact(t, (20, 30)))
     y = f(x)
     assert y.shape == (2, 3, 20, 30) and y.dtype == jnp.uint8
+
+
+def test_bit_exact_random_size_sweep(rng):
+    """Randomised sweep: fixed size lists can miss one-ULP coefficient
+    flips (the double-vs-float hamming window constants were caught this
+    way), so sample many (in, out) pairs per mode."""
+    npr = np.random.default_rng(42)
+    for mode, pil_mode in PIL_MODES.items():
+        for _ in range(12):
+            H = int(npr.integers(4, 300))
+            W = int(npr.integers(4, 300))
+            oh = int(npr.integers(1, 200))
+            ow = int(npr.integers(1, 200))
+            img = npr.integers(0, 256, (H, W, 3), dtype=np.uint8)
+            ref = np.asarray(PIL.fromarray(img).resize((ow, oh), pil_mode))
+            got = np.asarray(
+                ia.resize_pil_exact(jnp.asarray(img), (oh, ow), method=mode,
+                                    data_format="HWC")
+            )
+            np.testing.assert_array_equal(got, ref, err_msg=f"{mode} {H}x{W}->{oh}x{ow}")
