@@ -10,12 +10,8 @@ contraction).
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.resize import resize_plane
@@ -92,7 +88,10 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step)
 
-    img_sh = NamedSharding(mesh, P(data_axis, None, spatial_axis, None))
+    img_sh = NamedSharding(
+        mesh, P(data_axis, None, spatial_axis, None) if spatial_axis
+        else P(data_axis, None, None, None)
+    )
     lbl_sh = NamedSharding(mesh, P(data_axis))
     rep = NamedSharding(mesh, P())
     return jax.jit(
@@ -105,12 +104,20 @@ def make_train_step(
 class Trainer:
     """Minimal training loop wrapper used by benchmarks and the dry run."""
 
-    def __init__(self, mesh=None, resize_to=(64, 64), num_classes=10, seed=0):
+    def __init__(self, mesh=None, resize_to=(64, 64), num_classes=10, seed=0,
+                 data_axis="data", spatial_axis="sp"):
         self.mesh = mesh
         self.resize_to = resize_to
         self.params = init_params(jax.random.PRNGKey(seed), num_classes)
         self.momentum = jax.tree.map(jnp.zeros_like, self.params)
-        self.step_fn = make_train_step(mesh, resize_to=resize_to)
+        # only request the spatial axis if the mesh actually has it, so a
+        # plain data-parallel mesh (make_mesh() default) works out of the box
+        if mesh is not None and spatial_axis not in mesh.shape:
+            spatial_axis = None
+        self.step_fn = make_train_step(
+            mesh, data_axis=data_axis, spatial_axis=spatial_axis,
+            resize_to=resize_to,
+        )
 
     def step(self, images, labels):
         self.params, self.momentum, loss = self.step_fn(

@@ -19,8 +19,6 @@ Both are linear in ``x`` with weights that are compile-time constants per
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.weights import compute_tables, make_axis_spec
 
@@ -48,6 +48,13 @@ def plan_halo(in_size: int, out_size: int, mode: str, antialias: bool, n_shards:
         hi = int(xmin[o1 - 1] + size[o1 - 1])
         halo = max(halo, d * hl - lo, hi - (d + 1) * hl)
     halo = max(halo, 0)
+    if halo > hl:
+        raise ValueError(
+            f"halo ({halo} rows) exceeds the local shard height ({hl}): the "
+            f"one-hop neighbour exchange cannot serve it — use fewer shards "
+            f"or a smaller filter (mode={mode!r}, {in_size}->{out_size} over "
+            f"{n_shards})"
+        )
 
     Wl = np.zeros((n_shards, ol, hl + 2 * halo), dtype=np.float64)
     for d in range(n_shards):
@@ -57,6 +64,7 @@ def plan_halo(in_size: int, out_size: int, mode: str, antialias: bool, n_shards:
                 col = int(xmin[o]) + j - base
                 assert 0 <= col < hl + 2 * halo, "halo underestimated"
                 Wl[d, o - d * ol, col] = w[o, j]
+    Wl.setflags(write=False)  # cached: callers must not mutate
     return halo, Wl
 
 

@@ -29,7 +29,12 @@ def make_mesh(
     devs = jax.devices()
     if shape is None:
         shape = (len(devs),)
-    arr = np.asarray(devs[: int(np.prod(shape))]).reshape(shape)
+    need = int(np.prod(shape))
+    if len(devs) < need:
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {need} devices, have {len(devs)}"
+        )
+    arr = np.asarray(devs[:need]).reshape(shape)
     return Mesh(arr, axis_names)
 
 
@@ -52,15 +57,26 @@ def data_parallel_resize(
     required (XLA inserts none — asserted in tests by compiling with
     8 virtual devices and checking output shardings).
     """
-    from ..ops.resize import resize
-
     mesh = mesh or make_mesh()
     spec = P(axis, *([None] * (x.ndim - 1)))
     sh = NamedSharding(mesh, spec)
     xs = jax.device_put(x, sh)
-    f = jax.jit(
-        lambda t: resize(t, size, **kw),
-        in_shardings=sh,
-        out_shardings=sh,
-    )
+    f = _dp_resize_jit(sh, tuple(int(v) for v in size),
+                       tuple(sorted(kw.items())))
     return f(xs)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _dp_resize_jit(sh, size, kw_items):
+    # jit caches by function identity: building a fresh lambda per call
+    # would recompile every time, so the jitted executable is cached here
+    # keyed on (sharding, size, kwargs).
+    from ..ops.resize import resize
+
+    kw = dict(kw_items)
+    return jax.jit(
+        lambda t: resize(t, size, **kw), in_shardings=sh, out_shardings=sh
+    )

@@ -39,6 +39,7 @@ def _pil_filter(mode: str):
             "nearest": Image.BOX,  # the reference's "nearest" is PIL's box AA filter
             "lanczos3": Image.LANCZOS,
             "hamming": Image.HAMMING,
+            "pil_nearest": Image.NEAREST,
         }
     return _PIL_FILTERS[mode]
 

@@ -1,0 +1,57 @@
+"""Regression tests for the parallel-layer review findings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from interpolate_antialiasing_tpu.parallel import make_mesh, plan_halo
+
+
+def test_plan_halo_rejects_oversized_halo():
+    with pytest.raises(ValueError, match="halo .* exceeds"):
+        plan_halo(64, 8, "lanczos3", True, 8)
+
+
+def test_make_mesh_clear_error_when_underprovisioned():
+    with pytest.raises(ValueError, match="needs .* devices"):
+        make_mesh((1024,), ("data",))
+
+
+def test_plan_halo_cache_immutable():
+    halo, Wl = plan_halo(64, 32, "bilinear", True, 8)
+    with pytest.raises(ValueError):
+        Wl[0, 0, 0] = 99.0
+
+
+def test_trainer_with_plain_data_mesh():
+    """Trainer works with the package's own default (data-only) mesh."""
+    from interpolate_antialiasing_tpu.models import Trainer
+
+    t = Trainer(mesh=make_mesh(), resize_to=(8, 8))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((8, 3, 16, 16)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 10, size=8))
+    loss = t.step(imgs, labels)
+    assert np.isfinite(float(loss))
+
+
+def test_data_parallel_resize_compiles_once(rng):
+    from interpolate_antialiasing_tpu.parallel import data_parallel_resize
+    from interpolate_antialiasing_tpu.parallel.sharding import _dp_resize_jit
+
+    mesh = make_mesh()
+    x = jnp.asarray(rng.random((8, 3, 32, 32)).astype(np.float32))
+    before = _dp_resize_jit.cache_info().misses
+    for _ in range(3):
+        y = data_parallel_resize(x, (16, 16), mesh=mesh)
+    after = _dp_resize_jit.cache_info()
+    assert after.misses == before + 1 and after.hits >= 2
+    assert y.shape == (8, 3, 16, 16)
+
+
+def test_oracle_covers_pil_nearest(test_image):
+    from interpolate_antialiasing_tpu.utils.oracle import pil_resize
+
+    ref = pil_resize(np.asarray(test_image), (10, 12), "pil_nearest")
+    assert ref.shape[-2:] == (10, 12) or ref.shape[:2] == (10, 12)
