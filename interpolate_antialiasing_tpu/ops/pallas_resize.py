@@ -47,7 +47,7 @@ from .weights import AxisSpec, BandedTiles, banded_tiles
 __all__ = ["resize_axis_pallas", "pallas_supported"]
 
 _LANE = 128
-_VMEM_BUDGET = 10 * 1024 * 1024  # headroom below the ~16MB/core VMEM
+_VMEM_BUDGET = 12 * 1024 * 1024  # headroom below the ~16MB/core VMEM
 
 
 def _round_up(x: int, m: int) -> int:
