@@ -181,3 +181,38 @@ def test_cli_bench_smoke(capsys):
 
     row = json.loads(out.strip().splitlines()[-1])
     assert "pil_ms" in row and row["size"] == "24x16"
+
+
+def test_bench_contract(monkeypatch):
+    """bench.py must print ONE JSON line with the driver-contract keys
+    (metric/value/unit/vs_baseline). Runs on CPU with a tiny workload by
+    monkeypatching the timing loop to avoid real benchmarking in CI."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+    from interpolate_antialiasing_tpu.utils import timing
+
+    calls = []
+
+    def fake_loop(fn, x, iters=10, repeats=3):
+        calls.append(iters)
+        fn(x[:1])  # still exercises the real resize once
+        return timing.BenchResult(seconds=1e-3 * iters, iters=iters,
+                                  repeats=repeats)
+
+    monkeypatch.setattr(timing, "time_jit_loop", fake_loop)
+    monkeypatch.setattr(bench, "time_jit_loop", fake_loop, raising=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench.main()
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in rec, key
+    assert rec["unit"] == "Mpix/s" and rec["value"] > 0
