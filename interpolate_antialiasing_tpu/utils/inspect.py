@@ -78,7 +78,11 @@ def kernel_report(
     MXU MACs that touch nonzero weights), and MAC/byte totals.
     """
     from ..ops.weights import make_axis_spec, banded_tiles
-    from ..ops.pallas_resize import _tiles_exact_cached, resize2d_onekernel_supported
+    from ..ops.pallas_resize import (
+        _tiles_exact_cached,
+        resize2d_onekernel_supported,
+        resize2d_streamed_supported,
+    )
 
     in_shape = tuple(int(s) for s in in_shape)
     oh, ow = int(out_hw[0]), int(out_hw[1])
@@ -97,7 +101,16 @@ def kernel_report(
         onek = resize2d_onekernel_supported(_Fake(), spec_h, spec_w)
     except Exception:
         onek = False
-    route = "single-kernel (resize2d_onekernel)" if onek else "streamed pipeline / XLA"
+    try:
+        streamed = (not onek) and resize2d_streamed_supported(_Fake(), spec_h, spec_w)
+    except Exception:
+        streamed = False
+    if onek:
+        route = "single-kernel (resize2d_onekernel)"
+    elif streamed:
+        route = "streamed single-kernel (resize2d_streamed)"
+    else:
+        route = "padded pipeline / per-axis / XLA"
 
     axes = []
     total = 0.0
