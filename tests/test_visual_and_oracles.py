@@ -216,3 +216,29 @@ def test_bench_contract(monkeypatch):
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in rec, key
     assert rec["unit"] == "Mpix/s" and rec["value"] > 0
+
+
+def test_dryrun_multichip_driver_contract():
+    """__graft_entry__.dryrun_multichip must pass when invoked EXACTLY as
+    the driver does: a fresh subprocess, default environment (no XLA_FLAGS,
+    no JAX_PLATFORMS, no conftest), `python -c`.  Round 1 shipped a dryrun
+    that worked under the test conftest but crashed rc=1 under the driver
+    because the entry never forced the virtual CPU mesh itself
+    (MULTICHIP_r01.json); this test is the guard that was missing."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"dryrun_multichip(8) failed under driver conditions:\n"
+        f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-2000:]}"
+    )
