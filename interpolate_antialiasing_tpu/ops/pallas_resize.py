@@ -1189,7 +1189,7 @@ def resize2d_streamed(
         num_scalar_prefetch=1,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec(
                 (btw.n_tiles, btw.k_in, _LANE),
                 lambda b, t, starts: (0, 0, 0),

@@ -1,4 +1,4 @@
-"""Public resize API with a correct custom VJP.
+"""Public resize API over registered linear primitives (exact adjoint).
 
 This is the rebuild of the reference's L3 op layer
 (``ti_upsample_{bilinear2d,bicubic2d,nearest2d}_cpu``,
@@ -17,7 +17,6 @@ test.py:24-99 (channels-first) and its strided channels-last support.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax
@@ -96,22 +95,14 @@ def _apply_axis(x: jax.Array, spec: AxisSpec, axis: int, backend: str) -> jax.Ar
     return fn(x, spec, axis)
 
 
-# Per-axis pass with its own exact-adjoint VJP (used by resize_nd, whose
-# passes may route to raw pallas_call kernels that have no transpose rule).
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _apply_axis_vjp(x, spec, axis, backend):
-    return _apply_axis(x, spec, axis, backend)
+# Per-axis pass as a registered JAX primitive: linear, with an exact-adjoint
+# transpose rule, native jvp (the op on the tangent) and a batching rule —
+# so every backend route (including raw pallas_call kernels, which have no
+# transpose rule of their own) supports fwd+rev autodiff and vmap uniformly.
+def _apply_axis_diff(x, spec, axis, backend):
+    from .primitive import apply_axis_p
 
-
-def _aa_fwd(x, spec, axis, backend):
-    return _apply_axis(x, spec, axis, backend), None
-
-
-def _aa_bwd(spec, axis, backend, _res, g):
-    return (_transpose_axis(g, spec, axis),)
-
-
-_apply_axis_vjp.defvjp(_aa_fwd, _aa_bwd)
+    return apply_axis_p(x, spec, axis, backend)
 
 
 # ---------------------------------------------------------------------------
@@ -188,19 +179,11 @@ def _transpose_axis(g: jax.Array, spec: AxisSpec, axis: int) -> jax.Array:
     return jnp.moveaxis(y, -1, axis)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
-def resize_plane_vjp(x, spec_h, spec_w, h_axis, w_axis, backend):
-    return _resize_plane_impl(x, spec_h, spec_w, h_axis, w_axis, backend)
-
-
-def _fwd(x, spec_h, spec_w, h_axis, w_axis, backend):
-    return _resize_plane_impl(x, spec_h, spec_w, h_axis, w_axis, backend), None
-
-
-def _bwd(spec_h, spec_w, h_axis, w_axis, backend, _res, g):
-    # Fused single-kernel adjoint when the plane is the trailing [H, W]
-    # (same transposed-band math, one pallas_call instead of two padded
-    # per-axis calls).
+def _plane_adjoint(g, spec_h, spec_w, h_axis, w_axis):
+    """Exact adjoint of the separable plane pass (the primitive's transpose
+    rule).  Fused single-kernel adjoint when the plane is the trailing
+    [H, W] (same transposed-band math, one pallas_call instead of two
+    padded per-axis calls)."""
     if (
         _on_tpu()
         and h_axis % g.ndim == g.ndim - 2
@@ -214,14 +197,18 @@ def _bwd(spec_h, spec_w, h_axis, w_axis, backend, _res, g):
         if resize2d_onekernel_transpose_supported(g, spec_h, spec_w):
             if debug_enabled():
                 print("[ia-tpu] single-kernel adjoint")
-            return (resize2d_onekernel_transpose(g, spec_h, spec_w),)
+            return resize2d_onekernel_transpose(g, spec_h, spec_w)
     # Adjoint in reverse pass order: H first, then W.
     gh = _transpose_axis(g, spec_h, h_axis)
-    gx = _transpose_axis(gh, spec_w, w_axis)
-    return (gx,)
+    return _transpose_axis(gh, spec_w, w_axis)
 
 
-resize_plane_vjp.defvjp(_fwd, _bwd)
+def resize_plane_vjp(x, spec_h, spec_w, h_axis, w_axis, backend):
+    """Spec-level plane entry (named for the round-1 custom-VJP wrapper it
+    replaces; now a registered primitive with fwd+rev autodiff and vmap)."""
+    from .primitive import resize_plane_p
+
+    return resize_plane_p(x, spec_h, spec_w, h_axis, w_axis, backend)
 
 
 def resize_plane(
@@ -240,10 +227,10 @@ def resize_plane(
     Input must already be a floating dtype; use :func:`resize` for the full
     dtype/layout surface.
 
-    Autodiff: reverse mode (any order) and ``vmap`` compose with the custom
-    VJP; forward-mode ``jax.jvp`` is not supported (``jax.custom_vjp``
-    limitation).  The op is linear, so a forward tangent is just the op
-    applied to the tangent: ``jvp = resize_plane(tangent, ...)``.
+    Autodiff: the pass is a registered linear primitive
+    (:mod:`.primitive`), so forward mode (``jax.jvp``), reverse mode
+    (``jax.grad`` — exact transposed-band adjoint), any-order composition,
+    and ``vmap`` all work on every backend route.
     """
     backend = backend or default_backend()
     sfh, sfw = scale_factors if scale_factors is not None else (None, None)
@@ -535,14 +522,11 @@ def resize_nd(
     cdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     y = x.astype(cdtype)
     order = sorted(zip(axes, sizes), key=lambda t: -(t[0] % x.ndim))
-    # Pallas passes need the custom-VJP wrapper (pallas_call has no
-    # transpose rule); the pure-XLA passes stay unwrapped so they keep
-    # native forward-mode (jvp) support.
-    may_use_pallas = backend == "pallas" or (backend == "auto" and _on_tpu())
-    apply = _apply_axis_vjp if may_use_pallas else _apply_axis
+    # Every pass binds the registered axis primitive, so fwd+rev autodiff
+    # and vmap hold regardless of which backend the pass routes to.
     for ax, sz in order:  # innermost axis first, like the separable driver
         spec = make_axis_spec(y.shape[ax], int(sz), method, antialias, align_corners)
-        y = apply(y, spec, ax % y.ndim, backend)
+        y = _apply_axis_diff(y, spec, ax % y.ndim, backend)
     if x.dtype == jnp.uint8:
         y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0).astype(jnp.uint8)
     return y

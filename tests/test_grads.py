@@ -22,7 +22,7 @@ def test_check_grads_f64(mode, ohw):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((1, 2, 19, 23)))  # float64 under x64
     f = lambda t: ia.resize_plane(t, ohw, 2, 3, mode=mode)
-    check_grads(f, (x,), order=1, modes=["rev"], atol=1e-6, rtol=1e-6)
+    check_grads(f, (x,), order=2, modes=["fwd", "rev"], atol=1e-6, rtol=1e-6)
 
 
 def test_vjp_is_transpose():
@@ -79,9 +79,9 @@ def test_jit_grad_composition():
 
 
 def test_vmap_and_second_order(rng):
-    """Transform coverage: vmap and reverse-over-reverse compose with the
-    custom VJP; forward-mode jvp is unsupported (custom_vjp limitation —
-    the op is linear, so apply it to the tangent directly if needed)."""
+    """Transform coverage: vmap, reverse-over-reverse, AND forward mode all
+    compose — the pass is a registered linear primitive with jvp, transpose
+    and batching rules (round 1's custom_vjp blocked jvp)."""
     x = jnp.asarray(rng.random((4, 3, 32, 48)).astype(np.float32))
     f = lambda img: ia.resize_plane(img, (16, 24), 1, 2)
     yv = jax.vmap(f)(x)
@@ -92,8 +92,11 @@ def test_vmap_and_second_order(rng):
     hvp = jax.grad(lambda t: (jax.grad(g)(t) * t).sum())(x)
     assert hvp.shape == x.shape and bool(jnp.isfinite(hvp).all())
 
-    with pytest.raises(TypeError, match="forward-mode"):
-        jax.jvp(f, (x[0],), (x[0],))
+    # Linear op: jvp(tangent) == f(tangent); also check vmap-of-jvp.
+    y, tang = jax.jvp(f, (x[0],), (x[0],))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(tang), atol=1e-6)
+    yb, tb = jax.jvp(jax.vmap(f), (x,), (x,))
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(tb), atol=1e-6)
 
 
 def test_resize_nd_grad_all_backends(rng):
@@ -113,10 +116,29 @@ def test_resize_nd_grad_all_backends(rng):
             np.testing.assert_allclose(np.asarray(g), ref, atol=5e-3)
 
 
-def test_resize_nd_jvp_on_xla_paths(rng):
-    """Forward-mode works for resize_nd on the XLA backends (only the
-    Pallas-routed passes need the jvp-less custom-VJP wrapper)."""
+def test_resize_nd_jvp_all_backends(rng):
+    """Forward-mode works for resize_nd on EVERY backend route (round 1 was
+    XLA-only: pallas routes went through a jvp-less custom_vjp wrapper)."""
     x = jnp.asarray(rng.random((2, 10, 12)).astype(np.float32))
-    f = lambda t: ia.resize_nd(t, (5, 6), (-2, -1), backend="xla")
-    y, tang = jax.jvp(f, (x,), (x,))
-    np.testing.assert_allclose(np.asarray(y), np.asarray(tang), atol=1e-5)
+    for backend in ["xla", "pallas", "dense", "gather", "banded", "auto"]:
+        f = lambda t: ia.resize_nd(t, (5, 6), (-2, -1), backend=backend)
+        y, tang = jax.jvp(f, (x,), (x,))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(tang), atol=1e-5,
+                                   err_msg=backend)
+
+
+def test_jvp_jit_grad_jvp_compositions(rng):
+    """Deep transform nests over the plane primitive: jit∘jvp, grad∘jvp,
+    jvp∘grad, and linearize all agree with the linear-operator identities."""
+    x = jnp.asarray(rng.random((1, 2, 18, 20)).astype(np.float32))
+    f = lambda t: ia.resize_plane(t, (9, 10), 2, 3, mode="bicubic")
+
+    y, t1 = jax.jit(lambda a, b: jax.jvp(f, (a,), (b,)))(x, 2.0 * x)
+    np.testing.assert_allclose(np.asarray(t1), 2 * np.asarray(y), atol=1e-5)
+
+    # d/dx <f(x), f(x)> via jvp-of-grad must equal 2 * f^T f applied twice.
+    g = jax.grad(lambda t: (f(t) ** 2).sum())
+    _, hv = jax.jvp(g, (x,), (x,))  # Hessian-vector product: 2 W^T W x
+    y2, lin = jax.linearize(g, x)
+    np.testing.assert_allclose(np.asarray(hv), np.asarray(lin(x)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hv), np.asarray(y2), atol=1e-4)
