@@ -1047,9 +1047,11 @@ def resize2d_onekernel_transpose(
 
 @functools.cache
 def _tiles_stream_cached(spec: AxisSpec) -> BandedTiles:
-    # Dynamic DMA row offsets are 8-aligned; in_cap=in_size keeps windows
-    # inside the unpadded input (requires in_size % 8 == 0, checked by the
-    # caller, so the clamped start H - k_in stays a multiple of 8).
+    # Dynamic DMA row offsets are 8-aligned; in_cap = round_up(in_size, 8)
+    # keeps every window (and its 8-aligned clamped start) inside the
+    # 8-row-padded input the caller guarantees (resize2d_streamed pads the
+    # trailing rows host-side only when H % 8 != 0; pad rows carry zero
+    # weight so they never contribute).
     # Note: 8 is the HBM *memref* row-tile granularity for DMA slicing and
     # differs from the VMEM vector-slice sublane rule (_sublane(dtype):
     # 16/32 for bf16/u8) used by the pl.ds kernels — validated on hardware:
@@ -1059,7 +1061,7 @@ def _tiles_stream_cached(spec: AxisSpec) -> BandedTiles:
     # cover the math in interpret mode; the hardware check is in the
     # commit-time verification log).
     return banded_tiles(spec, tile=_LANE, dtype=np.float32, align=8,
-                        in_cap=spec.in_size)
+                        in_cap=_round_up(spec.in_size, 8))
 
 
 def _streamed_vmem(x_dtype, out_dtype, inter_dtype, W, OW, btw, bth) -> int:
@@ -1081,16 +1083,16 @@ def resize2d_streamed_supported(
     if x.ndim < 2:
         return False
     H, W = spec_h.in_size, spec_w.in_size
-    if H % 8 != 0:
-        return False  # DMA row starts must stay sublane-aligned after clamping
-    if W % _LANE != 0:
-        return False  # HBM->VMEM DMA slices need a 128-aligned lane extent
+    # Arbitrary H/W: the wrapper pads rows to a multiple of 8 (aligned DMA
+    # starts) and columns to a multiple of 128 (lane-aligned DMA extents)
+    # host-side only when needed; windows are built against the padded
+    # height, so no shape restriction remains.
     out_dtype = out_dtype if out_dtype is not None else (
         jnp.float32 if x.dtype == jnp.uint8 else x.dtype
     )
     btw = _tiles_exact_cached(spec_w)
     bth = _tiles_stream_cached(spec_h)
-    if btw.k_in > W or bth.k_in > H:
+    if btw.k_in > W or bth.k_in > _round_up(H, 8):
         return False
     if btw.n_tiles > _MAX_UNROLL_TILES:
         return False
@@ -1158,7 +1160,13 @@ def resize2d_streamed(
     precision="default",
 ) -> jax.Array:
     """Separable 2-D resize of trailing [H, W] in one pallas_call, streaming
-    halo'd row windows for images whose full height does not fit VMEM."""
+    halo'd row windows for images whose full height does not fit VMEM.
+
+    Arbitrary shapes: when H is not a multiple of 8 or W of 128 (Mosaic DMA
+    alignment), the input is zero-padded host-side to the next aligned shape
+    — one extra HBM copy of the input, but the streamed profile (no
+    intermediate round-trip) is preserved; pad rows/cols carry zero weight
+    in the band so the result is bit-identical to the aligned case."""
     precision = _resolve_precision(precision)
     if out_dtype is None:
         out_dtype = jnp.float32 if x.dtype == jnp.uint8 else x.dtype
@@ -1171,12 +1179,15 @@ def resize2d_streamed(
     bth = _tiles_stream_cached(spec_h)
     T = bth.n_tiles
     x3 = x.reshape(B, H, W)
+    Hp, Wp = _round_up(H, 8), _round_up(W, _LANE)
+    if (Hp, Wp) != (H, W):
+        x3 = jnp.pad(x3, ((0, 0), (0, Hp - H), (0, Wp - W)))
     starts_h = jnp.asarray(bth.starts, dtype=jnp.int32)
 
     kern = functools.partial(
         _kernel_2pass_streamed,
         k_rows=bth.k_in,
-        W=W,
+        W=Wp,
         OW=OW,
         starts_w=tuple(int(s) for s in btw.starts),
         k_in_w=btw.k_in,
@@ -1206,7 +1217,7 @@ def resize2d_streamed(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, bth.k_in, W), x.dtype),
+            pltpu.VMEM((2, bth.k_in, Wp), x.dtype),
             pltpu.VMEM((bth.k_in, btw.out_padded), jnp.dtype(inter_dtype)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -1219,7 +1230,7 @@ def resize2d_streamed(
         cost_estimate=pl.CostEstimate(
             flops=2 * B * T * bth.k_in * (btw.k_in * btw.out_padded
                                           + _LANE * btw.out_padded),
-            bytes_accessed=B * T * bth.k_in * W * ib
+            bytes_accessed=B * T * bth.k_in * Wp * ib
             + B * OH * OW * out_dtype.itemsize,
             transcendentals=0,
         ),

@@ -97,12 +97,29 @@ def kernel_report(
         ndim = len(in_shape)
         dtype = dt
 
+    # Resolve the output/intermediate dtypes EXACTLY like ops/resize.py so
+    # the reported route always matches dispatch: resize() keeps the output
+    # dtype equal to the input dtype by default (uint8 in -> uint8 out), and
+    # uses a bf16 intermediate only for bf16 inputs.  Under backend="auto"
+    # the float path only enters the fused pipelines for large planes
+    # (>= 2^21 source pixels); the uint8 path always tries them.
+    odt = dt
+    inter = jnp.dtype(jnp.bfloat16) if dt == jnp.bfloat16 else jnp.dtype(jnp.float32)
+    float_fused_gate = dt == jnp.uint8 or H * W >= (1 << 21)
     try:
-        onek = resize2d_onekernel_supported(_Fake(), spec_h, spec_w)
+        onek = float_fused_gate and resize2d_onekernel_supported(
+            _Fake(), spec_h, spec_w, odt
+        )
     except Exception:
         onek = False
     try:
-        streamed = (not onek) and resize2d_streamed_supported(_Fake(), spec_h, spec_w)
+        streamed = (
+            float_fused_gate
+            and not onek
+            and resize2d_streamed_supported(
+                _Fake(), spec_h, spec_w, odt, inter_dtype=inter
+            )
+        )
     except Exception:
         streamed = False
     if onek:

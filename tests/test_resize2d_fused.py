@@ -152,6 +152,11 @@ STREAM_CASES = [
     ((1, 440, 1024), (196, 320), "bilinear", jnp.uint8, jnp.uint8),
     ((3, 256, 512), (700, 300), "bicubic", jnp.float32, jnp.float32),
     ((1, 64, 256), (320, 96), "lanczos3", jnp.float32, jnp.float32),
+    # arbitrary (unaligned) H and W: padded host-side inside the wrapper
+    ((1, 219, 391), (108, 192), "bilinear", jnp.float32, jnp.float32),
+    ((1, 438, 906), (196, 320), "bilinear", jnp.uint8, jnp.uint8),
+    ((2, 301, 400), (150, 333), "bicubic", jnp.float32, jnp.float32),
+    ((1, 215, 250), (430, 125), "bilinear", jnp.bfloat16, jnp.bfloat16),
 ]
 
 
@@ -177,14 +182,13 @@ def test_streamed_matches_dense(rng, shape, ohw, mode, idt, odt):
         assert err <= 0.01, err
 
 
-def test_streamed_rejects_unaligned():
+def test_streamed_accepts_unaligned():
+    """Round 1 rejected H % 8 != 0 / W % 128 != 0; the wrapper now pads
+    host-side, so arbitrary shapes are admitted (VMEM budget permitting)."""
     spec_h = make_axis_spec(438, 196, "bilinear")   # H % 8 != 0
     spec_w = make_axis_spec(906, 320, "bilinear")   # W % 128 != 0
     x = jnp.zeros((1, 438, 906), jnp.float32)
-    assert not resize2d_streamed_supported(x, spec_h, spec_w)
-    spec_h2 = make_axis_spec(440, 196, "bilinear")
-    x2 = jnp.zeros((1, 440, 906), jnp.float32)
-    assert not resize2d_streamed_supported(x2, spec_h2, spec_w)
+    assert resize2d_streamed_supported(x, spec_h, spec_w)
 
 
 def test_onekernel_adjoint_matches_dense(rng):
