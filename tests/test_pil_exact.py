@@ -87,3 +87,41 @@ def test_bit_exact_random_size_sweep(rng):
                                     data_format="HWC")
             )
             np.testing.assert_array_equal(got, ref, err_msg=f"{mode} {H}x{W}->{oh}x{ow}")
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic", "lanczos3", "box",
+                                  "hamming"])
+@pytest.mark.parametrize("hwos", [(64, 96, 32, 40), (57, 83, 24, 31),
+                                  (40, 120, 96, 48), (33, 31, 65, 67)])
+def test_digit_split_pallas_bit_identical(rng, mode, hwos):
+    """The TPU digit-split single-kernel pipeline (interpret mode here) must
+    be byte-identical to the XLA int32 path — i.e. to Pillow."""
+    from interpolate_antialiasing_tpu.ops.pil_exact import (
+        _resize_pil_exact_pallas,
+        pil_exact_pallas_supported,
+    )
+
+    H, W, oh, ow = hwos
+    img = (rng.random((2, H, W)) * 255).astype(np.uint8)
+    assert pil_exact_pallas_supported((2, H, W), oh, ow, mode)
+    got = np.asarray(_resize_pil_exact_pallas(jnp.asarray(img), oh, ow, mode))
+    ref = np.asarray(ia.resize_pil_exact(jnp.asarray(img), (oh, ow),
+                                         method=mode, data_format="NCHW"
+                                         if img.ndim == 4 else None))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_digit_split_decomposition_exact():
+    """k == d2*2^16 + d1*2^8 + d0 with |d_i| <= 128 for every coefficient of
+    every mode at the headline sizes (the bf16-exactness precondition)."""
+    from interpolate_antialiasing_tpu.ops.pil_exact import (
+        _int_matrix,
+        _split_digits,
+    )
+
+    for mode in ["bilinear", "bicubic", "lanczos3", "box", "hamming"]:
+        K = _int_matrix(906, 320, mode)
+        D = _split_digits(K).astype(np.int64)
+        assert np.abs(D).max() <= 128
+        recon = D[2] * 65536 + D[1] * 256 + D[0]
+        np.testing.assert_array_equal(recon, K)
