@@ -537,6 +537,79 @@ def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
     return y[:, :out_size, :W]
 
 
+def banded_pass_mid_dynamic(
+    x3: jax.Array,
+    starts: jax.Array,
+    band: jax.Array,
+    out_size: int,
+    precision="default",
+    out_dtype=None,
+) -> jax.Array:
+    """Axis-1 banded contraction with *traced* starts and band values.
+
+    ``x3 [B, IN, W]``, ``starts [n_tiles] int32`` (each a multiple of 8),
+    ``band [n_tiles, k_in, 128] f32`` -> ``[B, out_size, W]``.
+
+    Unlike :func:`_pass_mid`, the band geometry (n_tiles, k_in) is static
+    but the VALUES (weights and window starts) are runtime arrays — this is
+    what the sharded halo pass needs: under ``shard_map`` every device runs
+    the same program, selecting its own shard's band with
+    ``lax.axis_index``.  Reuses the `_kernel_mid` body (SMEM starts are
+    runtime values there anyway).
+    """
+    precision = _resolve_precision(precision)
+    B, IN, W = x3.shape
+    n_tiles, k_in, tile = band.shape
+    assert tile == _LANE
+    if out_dtype is None:
+        out_dtype = x3.dtype if x3.dtype != jnp.uint8 else jnp.float32
+    out_dtype = jnp.dtype(out_dtype)
+    in_align = 8
+    in_pad = max(_round_up(IN, in_align), k_in)
+    out_padded = n_tiles * _LANE
+    ibytes = x3.dtype.itemsize
+    wt = min(512, (_VMEM_BUDGET // 3) // max(in_pad * ibytes, 1))
+    wt = max(_LANE, (wt // _LANE) * _LANE)
+    w_pad = _round_up(max(W, wt), wt)
+    x3 = jnp.pad(x3, ((0, 0), (0, in_pad - IN), (0, w_pad - W)))
+    grid = (B, w_pad // wt, n_tiles)
+    y = pl.pallas_call(
+        functools.partial(
+            _kernel_mid,
+            k_in=k_in,
+            precision=precision,
+            out_dtype=out_dtype,
+            in_align=in_align,
+            in_exact=x3.dtype in (jnp.uint8, jnp.bfloat16),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, out_padded, w_pad), out_dtype),
+        out_specs=pl.BlockSpec(
+            (1, _LANE, wt), lambda b, k, j: (b, j, k), memory_space=pltpu.VMEM
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, in_pad, wt), lambda b, k, j: (b, 0, k),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_tiles, k_in, _LANE), lambda b, k, j: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * w_pad * k_in * out_padded,
+            bytes_accessed=B * in_pad * w_pad * ibytes
+            + B * out_padded * w_pad * out_dtype.itemsize
+            + band.size * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(starts.astype(jnp.int32), x3, band.astype(jnp.float32))
+    return y[:, :out_size, :W]
+
+
 def pallas_supported(x: jax.Array, spec: AxisSpec, axis: int) -> bool:
     if x.dtype not in (jnp.float32, jnp.bfloat16, jnp.uint8):
         return False

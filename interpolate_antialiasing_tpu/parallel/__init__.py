@@ -1,5 +1,5 @@
 from .sharding import make_mesh, shard_batch, data_parallel_resize
-from .halo import halo_resize_h, plan_halo
+from .halo import halo_resize_h, plan_halo, plan_halo_banded, resize_sharded
 
 __all__ = [
     "make_mesh",
@@ -7,4 +7,6 @@ __all__ = [
     "data_parallel_resize",
     "halo_resize_h",
     "plan_halo",
+    "plan_halo_banded",
+    "resize_sharded",
 ]

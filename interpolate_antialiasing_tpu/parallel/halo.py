@@ -14,6 +14,7 @@ not an all-gather: bytes moved per device are ``halo * W`` instead of
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -23,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.weights import compute_tables, make_axis_spec
 
-__all__ = ["halo_resize_h", "plan_halo"]
+__all__ = ["halo_resize_h", "plan_halo", "plan_halo_banded", "resize_sharded"]
 
 
 @functools.cache
@@ -68,6 +69,170 @@ def plan_halo(in_size: int, out_size: int, mode: str, antialias: bool, n_shards:
     return halo, Wl
 
 
+def _round_up(a: int, m: int) -> int:
+    return -(-a // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Static plan for a sharded H pass with uniform per-shard band geometry.
+
+    ``starts[d, t]`` / ``bands[d, t, k, u]`` give shard ``d``'s banded tiles
+    in the *extended-local* frame (``ext_pad`` rows = local block + halos,
+    padded to the 8-row DMA alignment); ``Wl[d]`` is the dense equivalent
+    for the einsum fallback.  All shards share (k_in, n_tiles), so under
+    ``shard_map`` every device runs the identical Pallas program selecting
+    its values with ``lax.axis_index``.
+    """
+
+    halo: int
+    hl: int  # local input rows per shard (ceil)
+    ol: int  # local output rows per shard (ceil)
+    ext: int  # hl + 2*halo
+    ext_pad: int
+    k_in: int
+    n_tiles: int
+    starts: np.ndarray  # [n_shards, n_tiles] int32, multiples of 8
+    bands: np.ndarray  # [n_shards, n_tiles, k_in, 128] float32
+    Wl: np.ndarray  # [n_shards, ol, ext_pad] float64 (dense fallback)
+
+
+@functools.cache
+def plan_halo_banded(
+    in_size: int,
+    out_size: int,
+    mode: str,
+    antialias: bool,
+    n_shards: int,
+    tile: int = 128,
+    align: int = 8,
+) -> HaloPlan:
+    """Banded v2 of :func:`plan_halo`: non-divisible sizes allowed (shards
+    use ceil-sized blocks; the caller pads the global H to ``n*hl`` rows and
+    slices the output back to ``out_size``), and the weights come as
+    tile-compacted bands with shard-uniform geometry for the Pallas pass.
+    """
+    spec = make_axis_spec(in_size, out_size, mode, antialias)
+    xmin, size, w = compute_tables(spec, dtype=np.float64)
+    n = n_shards
+    hl = -(-in_size // n)
+    ol = -(-out_size // n)
+    halo = 0
+    for d in range(n):
+        o0, o1 = d * ol, min((d + 1) * ol, out_size)
+        if o0 >= o1:
+            continue
+        lo = int(xmin[o0])
+        hi = int(xmin[o1 - 1] + size[o1 - 1])
+        halo = max(halo, d * hl - lo, hi - (d + 1) * hl)
+    halo = max(halo, 0)
+    if halo > hl:
+        raise ValueError(
+            f"halo ({halo} rows) exceeds the local shard height ({hl}): the "
+            f"one-hop neighbour exchange cannot serve it — use fewer shards "
+            f"or a smaller filter (mode={mode!r}, {in_size}->{out_size} over "
+            f"{n_shards})"
+        )
+    ext = hl + 2 * halo
+    ext_pad = _round_up(ext, align)
+    n_tiles = -(-ol // tile)
+
+    # Per-(shard, tile) window bounds in the extended-local frame, then a
+    # single k_in wide enough for every tile of every shard.
+    los = np.zeros((n, n_tiles), dtype=np.int64)
+    his = np.ones((n, n_tiles), dtype=np.int64)
+    for d in range(n):
+        base = d * hl - halo  # global row of extended-local row 0
+        for t in range(n_tiles):
+            o0 = d * ol + t * tile
+            o1 = min(o0 + tile, min((d + 1) * ol, out_size))
+            if o0 >= o1:
+                los[d, t], his[d, t] = 0, 1
+                continue
+            los[d, t] = (int(xmin[o0]) - base) // align * align
+            his[d, t] = int(xmin[o1 - 1] + size[o1 - 1]) - base
+    k_in = min(_round_up(int((his - los).max()), align), ext_pad)
+
+    starts = np.zeros((n, n_tiles), dtype=np.int32)
+    bands = np.zeros((n, n_tiles, k_in, tile), dtype=np.float64)
+    Wl = np.zeros((n, ol, ext_pad), dtype=np.float64)
+    for d in range(n):
+        base = d * hl - halo
+        for t in range(n_tiles):
+            s = max(0, min(int(los[d, t]), ext_pad - k_in))
+            starts[d, t] = s
+            o0 = d * ol + t * tile
+            o1 = min(o0 + tile, min((d + 1) * ol, out_size))
+            for o in range(o0, o1):
+                for j in range(int(size[o])):
+                    col = int(xmin[o]) + j - base
+                    assert 0 <= col < ext, "halo underestimated"
+                    assert 0 <= col - s < k_in, "window underestimated"
+                    bands[d, t, col - s, o - o0] = w[o, j]
+                    Wl[d, o - d * ol, col] = w[o, j]
+    for a in (starts, bands, Wl):
+        a.setflags(write=False)
+    return HaloPlan(
+        halo=halo, hl=hl, ol=ol, ext=ext, ext_pad=ext_pad, k_in=k_in,
+        n_tiles=n_tiles, starts=starts, bands=bands.astype(np.float32), Wl=Wl,
+    )
+
+
+def _halo_local_h(xl, plan: HaloPlan, n: int, axis: str, h_axis: int,
+                  starts_all, bands_all, Wl, use_pallas: bool):
+    """Shard-local body: ring halo exchange + banded/dense local H pass.
+    ``xl`` is one shard's block with ``plan.hl`` rows along ``h_axis``."""
+    halo = plan.halo
+    if halo > 0:
+        # rows just above my block live at the bottom of the previous
+        # shard: shift them "down" the ring; and vice versa below.
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        top = jax.lax.ppermute(
+            jax.lax.slice_in_dim(xl, xl.shape[h_axis] - halo, None, axis=h_axis),
+            axis,
+            perm=fwd,
+        )
+        bot = jax.lax.ppermute(
+            jax.lax.slice_in_dim(xl, 0, halo, axis=h_axis), axis, perm=bwd
+        )
+        ext = jnp.concatenate([top, xl, bot], axis=h_axis)
+    else:
+        ext = xl
+    d = jax.lax.axis_index(axis)
+    if use_pallas:
+        from ..ops.pallas_resize import banded_pass_mid_dynamic
+
+        pad = [(0, 0)] * ext.ndim
+        pad[h_axis] = (0, plan.ext_pad - ext.shape[h_axis])
+        ext = jnp.pad(ext, pad)
+        lead = ext.shape[:h_axis]
+        trail = ext.shape[h_axis + 1 :]
+        B = int(np.prod(lead)) if lead else 1
+        Wt = int(np.prod(trail)) if trail else 1
+        y3 = banded_pass_mid_dynamic(
+            ext.reshape(B, plan.ext_pad, Wt),
+            starts_all[d],
+            bands_all[d],
+            out_size=plan.ol,
+        )
+        return y3.reshape(*lead, plan.ol, *trail)
+    Wd = Wl[d]  # [ol, ext_pad]
+    pad = [(0, 0)] * ext.ndim
+    pad[h_axis] = (0, plan.ext_pad - ext.shape[h_axis])
+    ext = jnp.moveaxis(jnp.pad(ext, pad), h_axis, -1)
+    y = jnp.einsum("...h,oh->...o", ext, Wd, precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(y, -1, h_axis)
+
+
+def _use_pallas_default(cdtype, h_axis, ndim) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and cdtype in (jnp.float32, jnp.bfloat16)
+        and h_axis < ndim - 1  # needs a trailing (lane) dim
+    )
+
+
 def halo_resize_h(
     x: jax.Array,
     out_h: int,
@@ -76,46 +241,113 @@ def halo_resize_h(
     mode: str = "bilinear",
     antialias: bool = True,
     h_axis: int = -2,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Resize the (sharded) ``h_axis`` of ``x`` to ``out_h``.
 
     ``x`` is expected sharded along ``h_axis`` over mesh axis ``axis``;
-    output has the same sharding.  Only the H pass happens here — combine
-    with a local W pass for full 2-D resize of giant images.
+    output has the same sharding.  Sizes need NOT divide the mesh axis:
+    shards use ceil-sized blocks (the global H is zero-padded to ``n*hl``
+    rows — pad rows carry zero weight — and the output is sliced back).
+    The local contraction runs as banded Pallas tiles on TPU (shard-uniform
+    geometry, per-shard values selected by ``lax.axis_index``) or a dense
+    einsum elsewhere.  Only the H pass happens here — see
+    :func:`resize_sharded` for the full 2-D pipeline.
     """
     h_axis = h_axis % x.ndim
     in_size = x.shape[h_axis]
     n = mesh.shape[axis]
-    halo, Wl_np = plan_halo(in_size, out_h, mode, antialias, n)
+    plan = plan_halo_banded(in_size, out_h, mode, antialias, n)
     cdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    Wl = jnp.asarray(Wl_np, dtype=cdtype)
+    if use_pallas is None:
+        use_pallas = _use_pallas_default(cdtype, h_axis, x.ndim)
 
+    xc = x.astype(cdtype)
+    pad_rows = n * plan.hl - in_size
+    if pad_rows:
+        pad = [(0, 0)] * x.ndim
+        pad[h_axis] = (0, pad_rows)
+        xc = jnp.pad(xc, pad)
+    starts_all = jnp.asarray(plan.starts)
+    bands_all = jnp.asarray(plan.bands, dtype=jnp.float32)
+    Wl = jnp.asarray(plan.Wl, dtype=cdtype)
+    pspec = P(*[axis if i == h_axis else None for i in range(x.ndim)])
+
+    local = functools.partial(
+        _halo_local_h, plan=plan, n=n, axis=axis, h_axis=h_axis,
+        starts_all=starts_all, bands_all=bands_all, Wl=Wl,
+        use_pallas=use_pallas,
+    )
+    # check_vma=False: pallas_call cannot declare varying-across-mesh axes
+    f = jax.shard_map(local, mesh=mesh, in_specs=pspec, out_specs=pspec,
+                      check_vma=False)
+    y = f(xc)
+    if n * plan.ol != out_h:
+        y = jax.lax.slice_in_dim(y, 0, out_h, axis=h_axis)
+    return y
+
+
+def resize_sharded(
+    x: jax.Array,
+    size,
+    mesh: Mesh,
+    axis: str = "sp",
+    mode: str = "bilinear",
+    antialias: bool = True,
+    data_format: str | None = None,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Full separable 2-D resize of an image whose H axis is sharded over
+    ``mesh[axis]`` — for giant images that do not fit (or should not sit on)
+    one device.
+
+    One ``shard_map``: the W pass runs fully locally (the W axis is
+    unsharded), then the H pass does the two-``ppermute`` halo exchange and
+    the banded local contraction.  Sizes need not divide the mesh axis.
+    uint8 inputs are resampled in float32 and rounded back PIL-style.
+    Forward path (preprocessing/serving); for differentiable sharded
+    training use the jit-partitioned route (models/train.py).
+    """
+    from ..ops.resize import _axes_for
+
+    oh, ow = int(size[0]), int(size[1])
+    h_axis, w_axis = _axes_for(x, data_format)
+    h_axis, w_axis = h_axis % x.ndim, w_axis % x.ndim
+    in_h = x.shape[h_axis]
+    n = mesh.shape[axis]
+    plan = plan_halo_banded(in_h, oh, mode, antialias, n)
+    spec_w = make_axis_spec(x.shape[w_axis], ow, mode, antialias)
+    in_dtype = x.dtype
+    cdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    if use_pallas is None:
+        use_pallas = _use_pallas_default(cdtype, h_axis, x.ndim)
+
+    xc = x.astype(cdtype)
+    pad_rows = n * plan.hl - in_h
+    if pad_rows:
+        pad = [(0, 0)] * x.ndim
+        pad[h_axis] = (0, pad_rows)
+        xc = jnp.pad(xc, pad)
+    starts_all = jnp.asarray(plan.starts)
+    bands_all = jnp.asarray(plan.bands, dtype=jnp.float32)
+    Wl = jnp.asarray(plan.Wl, dtype=cdtype)
     pspec = P(*[axis if i == h_axis else None for i in range(x.ndim)])
 
     def local(xl):
-        d = jax.lax.axis_index(axis)
-        if halo > 0:
-            # rows just above my block live at the bottom of the previous
-            # shard: shift them "down" the ring; and vice versa below.
-            fwd = [(i, (i + 1) % n) for i in range(n)]
-            bwd = [(i, (i - 1) % n) for i in range(n)]
-            top = jax.lax.ppermute(
-                jax.lax.slice_in_dim(xl, xl.shape[h_axis] - halo, None, axis=h_axis),
-                axis,
-                perm=fwd,
-            )
-            bot = jax.lax.ppermute(
-                jax.lax.slice_in_dim(xl, 0, halo, axis=h_axis), axis, perm=bwd
-            )
-            ext = jnp.concatenate([top, xl, bot], axis=h_axis)
-        else:
-            ext = xl
-        Wd = Wl[d]  # [ol, hl + 2*halo]
-        ext = jnp.moveaxis(ext.astype(cdtype), h_axis, -1)
-        y = jnp.einsum(
-            "...h,oh->...o", ext, Wd, precision=jax.lax.Precision.HIGHEST
-        )
-        return jnp.moveaxis(y, -1, h_axis)
+        from ..ops.resize import _apply_axis
 
-    f = jax.shard_map(local, mesh=mesh, in_specs=pspec, out_specs=pspec)
-    return f(x)
+        yl = _apply_axis(xl, spec_w, w_axis, "auto")  # W pass: fully local
+        return _halo_local_h(
+            yl, plan=plan, n=n, axis=axis, h_axis=h_axis,
+            starts_all=starts_all, bands_all=bands_all, Wl=Wl,
+            use_pallas=use_pallas,
+        )
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=pspec, out_specs=pspec,
+                      check_vma=False)
+    y = f(xc)
+    if n * plan.ol != oh:
+        y = jax.lax.slice_in_dim(y, 0, oh, axis=h_axis)
+    if in_dtype == jnp.uint8:
+        y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0).astype(jnp.uint8)
+    return y

@@ -93,3 +93,73 @@ def test_train_pipeline_batch_sharded(rng):
     assert ys.sharding.spec[0] == "data"  # batch axis stays sharded
     y_ref = jax.jit(pipe)(key, x)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(y_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("in_h,out_h", [(67, 29), (50, 111), (129, 40)])
+def test_halo_resize_non_divisible(rng, mode, in_h, out_h):
+    """v2: sizes need not divide the mesh axis (ceil blocks + zero-weight
+    pad rows + output slice).  NamedSharding itself cannot express an
+    uneven split, so the caller passes the logical array and the internal
+    pad + shard_map distributes it."""
+    mesh = make_mesh((8,), ("sp",))
+    x = jnp.asarray(rng.random((2, 3, in_h, 40)).astype(np.float32))
+    y = halo_resize_h(x, out_h, mesh, mode=mode)
+    from interpolate_antialiasing_tpu.ops.weights import make_axis_spec
+    from interpolate_antialiasing_tpu.ops.resize_xla import resize_axis_dense
+
+    ref = resize_axis_dense(x, make_axis_spec(in_h, out_h, mode), 2)
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
+
+
+def test_halo_resize_banded_pallas_matches_dense(rng):
+    """The banded Pallas local pass (interpret mode on CPU) must agree with
+    the dense einsum formulation."""
+    mesh = make_mesh((8,), ("sp",))
+    x = jnp.asarray(rng.random((1, 2, 48, 40)).astype(np.float32))
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "sp", None)))
+    yb = halo_resize_h(xs, 24, mesh, mode="bicubic", use_pallas=True)
+    yd = halo_resize_h(xs, 24, mesh, mode="bicubic", use_pallas=False)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(yd), atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,ohw", [((67, 53), (29, 31)), ((64, 96), (32, 48))])
+def test_resize_sharded_full_2d(rng, in_hw, ohw):
+    """resize_sharded == unsharded resize_plane (W local + halo H pass)."""
+    from interpolate_antialiasing_tpu.parallel import resize_sharded
+
+    mesh = make_mesh((8,), ("sp",))
+    x = jnp.asarray(rng.random((1, 3, *in_hw)).astype(np.float32))
+    if in_hw[0] % 8 == 0:
+        x = jax.device_put(x, NamedSharding(mesh, P(None, None, "sp", None)))
+    y = resize_sharded(x, ohw, mesh)
+    ref = ia.resize_plane(x, ohw, 2, 3, mode="bilinear", backend="dense")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
+
+
+def test_resize_sharded_uint8(rng):
+    from interpolate_antialiasing_tpu.parallel import resize_sharded
+
+    mesh = make_mesh((8,), ("sp",))
+    x = jnp.asarray((rng.random((3, 66, 50)) * 255).astype(np.uint8))
+    y = resize_sharded(x, (30, 26), mesh, data_format="CHW")
+    ref = ia.resize(x, (30, 26), backend="dense")
+    d = np.abs(np.asarray(y).astype(int) - np.asarray(ref).astype(int)).max()
+    # <=1: per-shard accumulation order can flip a 0.5 rounding boundary
+    assert y.dtype == jnp.uint8 and d <= 1, d
+
+
+def test_plan_halo_banded_geometry():
+    plan = ia.parallel.plan_halo_banded(67, 29, "bilinear", True, 8) \
+        if hasattr(ia, "parallel") else None
+    from interpolate_antialiasing_tpu.parallel import plan_halo_banded
+
+    plan = plan_halo_banded(67, 29, "bilinear", True, 8)
+    assert plan.hl == 9 and plan.ol == 4
+    assert (plan.starts % 8 == 0).all()
+    assert plan.bands.shape == (8, plan.n_tiles, plan.k_in, 128)
+    # every real output row's weights sum to 1
+    sums = plan.Wl.sum(axis=2)  # [8, ol]
+    flat = sums.reshape(-1)[:29]
+    np.testing.assert_allclose(flat, 1.0, atol=1e-12)
