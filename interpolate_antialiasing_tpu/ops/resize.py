@@ -269,6 +269,36 @@ def _axes_for(x: jax.Array, data_format: str | None) -> tuple[int, int]:
     return x.ndim + ha, x.ndim + wa
 
 
+def _legacy_nearest_indices(
+    in_size: int, out_size: int, scale_factor: float | None = None
+) -> np.ndarray:
+    """Torch *legacy* nearest source indices: ``min(floor(i * scale), in-1)``
+    with the multiply and floor in float32, exactly like ATen's
+    ``nn_compute_source_index`` (the asymmetric rounding the reference's
+    ecosystem keeps alongside the AA machinery,
+    step_zero/aa_interpolation_impl.h:378-407; superseded upstream by
+    ``nearest-exact`` but still torch's ``mode='nearest'``).
+
+    Precision quirk reproduced from ATen (fuzz-verified against torch CPU):
+    the size-driven path computes ``i * (in/out)`` in float32, but the
+    scale_factor-driven path computes ``i * (1/scale_factor)`` in double.
+    """
+    if scale_factor is not None and scale_factor > 0:
+        idx = np.floor(np.arange(out_size) * (1.0 / scale_factor)).astype(np.int64)
+    else:
+        scale = np.float32(in_size) / np.float32(out_size)
+        i = np.arange(out_size, dtype=np.float32)
+        idx = np.floor(i * scale).astype(np.int64)
+    return np.minimum(idx, in_size - 1).astype(np.int32)
+
+
+def _resize_nearest_legacy(x, oh, ow, h_axis, w_axis, scale_factors):
+    sfh, sfw = scale_factors if scale_factors is not None else (None, None)
+    ih = jnp.asarray(_legacy_nearest_indices(x.shape[h_axis], oh, sfh))
+    iw = jnp.asarray(_legacy_nearest_indices(x.shape[w_axis], ow, sfw))
+    return jnp.take(jnp.take(x, ih, axis=h_axis), iw, axis=w_axis)
+
+
 def resize(
     x: jax.Array,
     size: Sequence[int],
@@ -287,7 +317,8 @@ def resize(
       4-D+ array; uint8, float32, float64 or bfloat16.
     * ``size``: output ``(height, width)``.
     * ``method``: bilinear | bicubic | nearest(≡ PIL box when antialias) |
-      box | lanczos3.
+      box | lanczos3 | nearest_legacy (torch's asymmetric ``mode='nearest'``
+      rounding, byte-exact, always non-AA).
     * uint8 inputs are resampled in float32 and rounded back PIL-style
       (``floor(v + 0.5)`` clamped to [0, 255]); the reference instead
       truncates via ``.byte()`` after a Python-side clamp (test.py:71-75) —
@@ -318,6 +349,13 @@ def resize(
     in_dtype = x.dtype
     out_dtype_resolved = output_dtype if output_dtype is not None else in_dtype
     backend_resolved = backend or default_backend()
+    if method == "nearest_legacy":
+        # Pure index gather, byte-exact vs torch mode='nearest' (always
+        # non-AA; the method name implies it, so antialias is ignored).
+        if align_corners:
+            raise ValueError("nearest_legacy does not take align_corners")
+        y = _resize_nearest_legacy(x, oh, ow, h_axis, w_axis, scale_factors)
+        return y.astype(out_dtype_resolved)
     if backend_resolved == "pil_exact":
         # Bit-identical Pillow 8bpc fixed-point pipeline (oracle backend).
         from .pil_exact import resize_pil_exact
@@ -440,14 +478,16 @@ def interpolate(
     integer scale ratios, but for fractional ratios the window-inclusion
     rules differ (torch includes partially-overlapped edge pixels at full
     weight; the PIL box filter includes taps by centre position), so
-    values diverge there.  ``nearest`` / ``nearest-exact`` disable
-    antialias (both map to this library's nearest, which matches torch's
-    *nearest-exact* rounding — the legacy asymmetric ``nearest`` is not
-    reproduced).
+    values diverge there.  ``nearest`` maps faithfully to torch's legacy
+    asymmetric rounding (``floor(i*scale)``, byte-exact — fuzz-tested in
+    test_torch_parity.py); ``nearest-exact`` maps to the corrected
+    rounding.  Both disable antialias.
     """
     if mode == "area":
         mode, antialias = "box", True
-    elif mode in ("nearest", "nearest-exact"):
+    elif mode in ("nearest", "nearest_legacy"):
+        mode, antialias = "nearest_legacy", False
+    elif mode == "nearest-exact":
         mode, antialias = "nearest", False
     h_axis, w_axis = _axes_for(x, data_format)
     sf = None

@@ -10,6 +10,7 @@ torch is a second executable oracle:
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 import interpolate_antialiasing_tpu as ia
@@ -97,3 +98,45 @@ def test_interpolate_mode_aliases(rng):
     yn = np.asarray(ia.interpolate(jnp.asarray(x), size=(12, 18),
                                    mode="nearest-exact"))
     np.testing.assert_array_equal(yn, refn)
+
+
+def test_nearest_legacy_parity_fuzz(rng):
+    """method='nearest_legacy' (and interpolate mode='nearest') is
+    byte-exact vs torch's legacy asymmetric nearest across a size fuzz,
+    including awkward ratios, upsampling and scale_factor-driven sizes."""
+    torch = pytest.importorskip("torch")
+    for _ in range(20):
+        H, W = int(rng.integers(2, 120)), int(rng.integers(2, 120))
+        oh, ow = int(rng.integers(1, 120)), int(rng.integers(1, 120))
+        x = (rng.random((1, 3, H, W)) * 255).astype(np.float32)
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=(oh, ow), mode="nearest"
+        ).numpy()
+        y = np.asarray(
+            ia.resize(jnp.asarray(x), (oh, ow), method="nearest_legacy")
+        )
+        np.testing.assert_array_equal(y, ref, err_msg=f"{H}x{W}->{oh}x{ow}")
+        yi = np.asarray(
+            ia.interpolate(jnp.asarray(x), size=(oh, ow), mode="nearest")
+        )
+        np.testing.assert_array_equal(yi, ref)
+    # scale_factor path (torch recomputes indices with 1/scale_factor)
+    x = (rng.random((1, 2, 37, 53)) * 255).astype(np.float32)
+    for sf in [0.4, 1.7, 2.0, 0.5]:
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x), scale_factor=sf, mode="nearest"
+        ).numpy()
+        yi = np.asarray(
+            ia.interpolate(jnp.asarray(x), scale_factor=sf, mode="nearest")
+        )
+        np.testing.assert_array_equal(yi, ref, err_msg=f"sf={sf}")
+
+
+def test_nearest_legacy_uint8_and_grad(rng):
+    """Gather path: dtype-preserving for uint8; differentiable for float."""
+    u = jnp.asarray((rng.random((3, 20, 30)) * 255).astype(np.uint8))
+    y = ia.resize(u, (9, 13), method="nearest_legacy", data_format="CHW")
+    assert y.dtype == jnp.uint8 and y.shape == (3, 9, 13)
+    x = jnp.asarray(rng.random((1, 1, 8, 8)).astype(np.float32))
+    g = jax.grad(lambda t: ia.resize(t, (4, 4), method="nearest_legacy").sum())(x)
+    assert g.shape == x.shape and float(g.sum()) == 16.0
