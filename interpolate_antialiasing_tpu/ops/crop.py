@@ -94,6 +94,14 @@ def crop_and_resize(
 
     Fully jit-compatible for traced boxes: shapes depend only on
     (H, W, OH, OW); box values only flow into the weight matrices.
+
+    Memory envelope (transient HBM, float32): the per-image dense matrices
+    cost ``4*N*(OH*H + OW*W)`` bytes and the inter-pass intermediate
+    ``4*N*C*OH*W`` bytes — e.g. batch-64 4K (2160x3840) -> 224x224 is
+    ~0.34 GB of weights + ~0.83 GB intermediate, well inside one chip's
+    HBM; compute is dominated by the first contraction
+    (``N*C*OH*H*W`` MACs).  Benched at 4K in docs/BENCHMARKS.md.  For
+    inputs much larger than 4K at big batch, chunk the batch.
     """
     if x.ndim != 4:
         raise ValueError("crop_and_resize expects NCHW input")
@@ -104,14 +112,31 @@ def crop_and_resize(
     in_dtype = x.dtype
     xf = x.astype(jnp.float32)
     b = boxes.astype(jnp.float32)
+    # uint8 pixels are exact in bfloat16, so the dominant first contraction
+    # (over the full-resolution image) can run as TWO native-rate bf16 MXU
+    # passes (weights split hi+lo, pixel side exact; same split the fast
+    # resize path uses) instead of three HIGHEST passes — ~1.5x on 4K
+    # inputs, with the dropped lo*lo term ~2^-16 relative (below the uint8
+    # rounding gate).  Float inputs keep full HIGHEST precision.
+    split = in_dtype == jnp.uint8
 
     def one(img, box):
         y0, x0, y1, x1 = box[0] * H, box[1] * W, box[2] * H, box[3] * W
         Wh = _axis_matrix(y0, y1, H, oh, method, antialias)  # [oh, H]
         Ww = _axis_matrix(x0, x1, W, ow, method, antialias)  # [ow, W]
         # img: [C, H, W] -> [C, oh, ow]
-        t = jnp.einsum("oi,cij->coj", Wh, img,
-                       precision=jax.lax.Precision.HIGHEST)
+        if split:
+            Wh_hi = Wh.astype(jnp.bfloat16)
+            Wh_lo = (Wh - Wh_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            ib = img.astype(jnp.bfloat16)  # exact: uint8-valued
+            t = jnp.einsum("oi,cij->coj", Wh_hi, ib,
+                           preferred_element_type=jnp.float32)
+            t = t + jnp.einsum("oi,cij->coj", Wh_lo, ib,
+                               preferred_element_type=jnp.float32)
+        else:
+            t = jnp.einsum("oi,cij->coj", Wh, img,
+                           precision=jax.lax.Precision.HIGHEST)
+        # second pass is cheap (contracts W against oh rows): keep HIGHEST
         return jnp.einsum("uj,coj->cou", Ww, t,
                           precision=jax.lax.Precision.HIGHEST)
 

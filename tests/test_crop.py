@@ -106,3 +106,20 @@ def test_crop_nonaa_bicubic_convention(rng):
     # interior matches exactly; borders differ (renorm vs replicate fold)
     err = float(jnp.max(jnp.abs(y[..., 4:-4, 4:-4] - ref[..., 4:-4, 4:-4])))
     assert err < 1e-3, err
+
+
+def test_crop_split_precision_matches_f32(rng):
+    """uint8 inputs take the split-bf16 first contraction; results must stay
+    within the uint8 rounding gate of the full-precision formulation."""
+    from interpolate_antialiasing_tpu.ops.crop import crop_and_resize
+
+    x8 = jnp.asarray((rng.random((3, 3, 96, 128)) * 255).astype(np.uint8))
+    boxes = jnp.asarray(
+        np.array([[0.1, 0.2, 0.8, 0.9], [0.0, 0.0, 1.0, 1.0],
+                  [0.3, 0.1, 0.5, 0.4]], np.float32)
+    )
+    y8 = crop_and_resize(x8, boxes, (32, 40))
+    yf = crop_and_resize(x8.astype(jnp.float32), boxes, (32, 40))
+    ref = np.clip(np.floor(np.asarray(yf) + 0.5), 0, 255).astype(np.uint8)
+    d = np.abs(np.asarray(y8).astype(int) - ref.astype(int)).max()
+    assert d <= 1, d
