@@ -43,12 +43,17 @@ def main() -> None:
     def fn(batch_u8):
         return ia.resize(batch_u8, (oh, ow), method="bilinear")
 
-    # The tunnelled runtime adds a large fixed host-read latency (~25-30 ms)
-    # to every measured loop call; measuring at two on-device iteration
-    # counts and differencing cancels that constant exactly, leaving the
-    # sustained per-batch device rate (the number a production pipeline
-    # that does not host-sync every batch actually gets).  Both raw points
-    # are reported for transparency.
+    # The tunnelled runtime adds a large, VARIABLE host-read latency
+    # (~25-30 ms) to every measured loop call.  Two timing methods:
+    #   1. preferred: the jax.profiler device timeline — the loop
+    #      executable's duration on /device:TPU contains zero host/tunnel
+    #      latency and is byte-stable across runs;
+    #   2. fallback (profiler unavailable): two-point differencing of the
+    #      on-device loop at 10 and 50 iterations, which cancels the fixed
+    #      part of the latency but can be skewed when it wanders.
+    # Both raw points are reported for transparency either way.
+    from interpolate_antialiasing_tpu.utils.timing import device_time_per_call
+
     lo_iters, hi_iters = 10, 50
     r_lo = time_jit_loop(fn, x, iters=lo_iters, repeats=5)
     r_hi = time_jit_loop(fn, x, iters=hi_iters, repeats=5)
@@ -56,16 +61,20 @@ def main() -> None:
         hi_iters - lo_iters
     )
     marginal_s = max(marginal_s, 1e-9)
-    mpix = batch * oh * ow / marginal_s / 1e6
+    dev_s = device_time_per_call(fn, x, iters=hi_iters)
+    sustained_s = dev_s if dev_s else marginal_s
+    mpix = batch * oh * ow / sustained_s / 1e6
 
     print(
         json.dumps(
             {
-                "metric": "bilinear-AA uint8 906x438->320x196 batch64 output throughput (sustained)",
+                "metric": "bilinear-AA uint8 906x438->320x196 batch64 output throughput (sustained device rate)",
                 "value": round(mpix, 1),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix / REF_MPIX_S, 2),
-                "ms_per_batch_sustained": round(marginal_s * 1e3, 3),
+                "ms_per_batch_sustained": round(sustained_s * 1e3, 3),
+                "timing_method": "profiler-device-time" if dev_s else "two-point",
+                "ms_per_batch_two_point": round(marginal_s * 1e3, 3),
                 "ms_per_batch_incl_host_sync": round(r_hi.seconds * 1e3, 3),
             }
         )

@@ -85,6 +85,19 @@ def _store(o_ref, idx, val_f32, out_dtype):
         o_ref[idx] = val_f32.astype(out_dtype)
 
 
+def _quant_u8grid(v):
+    """Round/clamp to the uint8 lattice but stay float.
+
+    The u8->u8 pipelines apply this to the pass-1 intermediate, exactly
+    like Pillow quantises its horizontal-pass output to uint8 before the
+    vertical pass (ImagingResampleHorizontal_8bpc's clip8) — the reference
+    inherits that via its PIL oracle.  Besides tracking the oracle more
+    closely, integers 0..255 are bf16-exact, so the H pass's pixel operand
+    loses its lo digit and the split contraction drops from 3 to 2 bf16
+    MXU passes (~12% of the headline's executed MACs)."""
+    return jnp.clip(jnp.floor(v + 0.5), 0.0, 255.0)
+
+
 def _resolve_precision(precision):
     """Map the public dial (split|bf16|f32, env IA_TPU_PRECISION) to the
     kernel-level precision argument; pass-through for explicit jax
@@ -221,7 +234,7 @@ def _kernel_mid_fused(
 
 def _kernel_last_unrolled(
     x_ref, band_ref, o_ref, *, starts, k_in, tile, precision, out_dtype,
-    in_exact=False, fused_spec=None
+    in_exact=False, fused_spec=None, quant_inter=False
 ):
     """out[MT, OUT_PAD] = concat_t cast(x[MT, s_t:s_t+K]) @ band[t]."""
     for t, s in enumerate(starts):
@@ -231,6 +244,8 @@ def _kernel_last_unrolled(
             band_t = band_ref[t]
         win = _widen(x_ref[:, s : s + k_in])
         y = _mxu_dot(win, band_t, (((1,), (0,)), ((), ())), precision, in_exact)
+        if quant_inter:
+            y = _quant_u8grid(y)
         _store(o_ref, (slice(None), slice(t * tile, (t + 1) * tile)), y, out_dtype)
 
 
@@ -777,6 +792,7 @@ def resize2d_pallas(
         mt = max(cands) if cands else _LANE
     x2 = xp.reshape(B * h_pad, w_pad)
     starts_w = tuple(int(s) for s in btw.starts)
+    quant_inter = bool(x.dtype == jnp.uint8 and out_dtype == jnp.uint8)
     body1 = functools.partial(
         _kernel_last_unrolled,
         starts=starts_w,
@@ -786,6 +802,7 @@ def resize2d_pallas(
         out_dtype=inter_dtype,
         in_exact=x.dtype in (jnp.uint8, jnp.bfloat16),
         fused_spec=spec_w if fused else None,
+        quant_inter=quant_inter,
     )
     in_specs = [pl.BlockSpec((mt, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     operands = [x2]
@@ -837,7 +854,8 @@ def resize2d_pallas(
         bt=bsz,
         precision=precision,
         out_dtype=out_dtype,
-        in_exact=jnp.dtype(inter_dtype) == jnp.bfloat16,  # bf16 inter is exact
+        # bf16 inter is exact; so is a u8-grid-quantised f32 inter
+        in_exact=quant_inter or jnp.dtype(inter_dtype) == jnp.bfloat16,
         fused_spec=spec_h if fused else None,
     )
     in_specs2 = [
@@ -938,7 +956,7 @@ def resize2d_onekernel_supported(
 def _kernel_2pass(
     x_ref, bandw_ref, bandh_ref, o_ref, scratch,
     *, bsz, H, OH, OW, starts_w, k_in_w, starts_h, k_in_h,
-    precision, out_dtype, in_exact,
+    precision, out_dtype, in_exact, quant_inter=False,
 ):
     for bi in range(bsz):
         # pass 1: contract W for all H rows of image bi -> scratch
@@ -947,12 +965,15 @@ def _kernel_2pass(
             y = _mxu_dot(
                 win, bandw_ref[t], (((1,), (0,)), ((), ())), precision, in_exact
             )
-            scratch[bi, :, t * _LANE : (t + 1) * _LANE] = y
+            scratch[bi, :, t * _LANE : (t + 1) * _LANE] = (
+                _quant_u8grid(y) if quant_inter else y
+            )
         # pass 2: contract H -> output rows (partial final tile is a static
         # masked store; o_ref is exact-shaped)
         for t, s in enumerate(starts_h):
             win = scratch[bi, s : s + k_in_h, :]  # (k_in_h, OWP)
-            y = _mxu_dot(bandh_ref[t], win, (((0,), (0,)), ((), ())), precision)
+            y = _mxu_dot(bandh_ref[t], win, (((0,), (0,)), ((), ())), precision,
+                         b_exact_bf16=quant_inter)
             rows = min(_LANE, OH - t * _LANE)
             _store(
                 o_ref,
@@ -1018,6 +1039,7 @@ def resize2d_onekernel(
         precision=precision,
         out_dtype=out_dtype,
         in_exact=x.dtype in (jnp.uint8, jnp.bfloat16),
+        quant_inter=bool(x.dtype == jnp.uint8 and out_dtype == jnp.uint8),
     )
     ib = x.dtype.itemsize
     y = pl.pallas_call(
@@ -1179,7 +1201,7 @@ def resize2d_streamed_supported(
 def _kernel_2pass_streamed(
     starts_ref, x_hbm, bandw_ref, bandh_ref, o_ref, win, inter, sem,
     *, k_rows, W, OW, starts_w, k_in_w, precision, out_dtype, inter_dtype,
-    in_exact,
+    in_exact, quant_inter=False,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -1215,11 +1237,13 @@ def _kernel_2pass_streamed(
         y = _mxu_dot(
             xw, bandw_ref[wt], (((1,), (0,)), ((), ())), precision, in_exact
         )
+        if quant_inter:
+            y = _quant_u8grid(y)
         inter[:, wt * _LANE : (wt + 1) * _LANE] = y.astype(inter_dtype)
     # pass 2: contract the window rows with this tile's H band -> 128 out rows
     y = _mxu_dot(
         bandh_ref[t], _widen(inter[...]), (((0,), (0,)), ((), ())), precision,
-        b_exact_bf16=jnp.dtype(inter_dtype) == jnp.bfloat16,
+        b_exact_bf16=quant_inter or jnp.dtype(inter_dtype) == jnp.bfloat16,
     )
     _store(o_ref, (0, slice(None), slice(0, OW)), y[:, :OW], out_dtype)
 
@@ -1268,6 +1292,9 @@ def resize2d_streamed(
         out_dtype=out_dtype,
         inter_dtype=jnp.dtype(inter_dtype),
         in_exact=x.dtype in (jnp.uint8, jnp.bfloat16),
+        quant_inter=bool(
+            x.dtype == jnp.uint8 and jnp.dtype(out_dtype) == jnp.uint8
+        ),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -119,7 +119,12 @@ def _digit_tiles(in_size: int, out_size: int, mode: str):
         rows = D[:, t * 128 : min((t + 1) * 128, out_size), :]
         seg = rows[:, :, s : min(s + k_in, in_size)]
         bands[:, t, : seg.shape[2], : seg.shape[1]] = np.swapaxes(seg, 1, 2)
-    return base, jnp.asarray(bands, dtype=jnp.bfloat16)
+    # NB: return a *numpy* bf16 array, never a jax array: this function is
+    # @cache'd and may first run inside a jit trace, where jnp.asarray
+    # yields a DynamicJaxprTracer constant — caching that tracer leaks it
+    # into every later trace (UnexpectedTracerError on the second jit;
+    # caught by the sustained benchmark sweep, round 2).  Callers convert.
+    return base, bands.astype(jnp.bfloat16)
 
 
 def _clip8(acc: jax.Array) -> jax.Array:

@@ -370,7 +370,10 @@ def resize(
         return resize_pil_exact(x, (oh, ow), method=method, data_format=data_format)
     # Fast uint8 path: decode/encode inside the Pallas kernels so the image
     # crosses HBM at 1 byte/px on input (and output for u8->u8); the
-    # intermediate stays f32 in VMEM-padded layout.
+    # intermediate stays f32 in VMEM-padded layout, quantised to the u8
+    # lattice between passes exactly like Pillow (pallas_resize._quant_u8grid)
+    # for u8->u8 — which both tracks the oracle through bicubic upsampling
+    # overshoot AND makes the H-pass operand bf16-exact (2 split passes).
     if (
         in_dtype == jnp.uint8
         and jnp.dtype(out_dtype_resolved)

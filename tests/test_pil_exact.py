@@ -125,3 +125,35 @@ def test_digit_split_decomposition_exact():
         assert np.abs(D).max() <= 128
         recon = D[2] * 65536 + D[1] * 256 + D[0]
         np.testing.assert_array_equal(recon, K)
+
+
+def test_digit_tiles_cache_never_holds_a_tracer():
+    """Regression (round 2): _digit_tiles is @cache'd; its first call can
+    happen inside a jit trace (pil_exact_pallas_supported runs under the
+    dispatcher), where jnp.asarray would mint a DynamicJaxprTracer constant.
+    Caching that tracer poisons every later trace — the sustained benchmark
+    sweep hit UnexpectedTracerError on its second time_jit_loop jit.  The
+    cache must therefore store numpy only."""
+    import jax
+
+    from interpolate_antialiasing_tpu.ops.pil_exact import _digit_tiles
+
+    _digit_tiles.cache_clear()
+
+    @jax.jit
+    def first_touch(x):  # populate the cache from inside a trace
+        _digit_tiles(40, 16, "bilinear")
+        return x + 1
+
+    first_touch(jnp.zeros((2, 2)))
+    _, bands = _digit_tiles(40, 16, "bilinear")
+    assert isinstance(bands, np.ndarray) and not isinstance(
+        bands, jax.Array
+    ), type(bands)
+
+    # and the value must be usable from a *second*, unrelated trace
+    @jax.jit
+    def second_trace(x):
+        return x + jnp.asarray(bands, dtype=jnp.float32).sum()
+
+    float(second_trace(jnp.float32(0)))

@@ -19,6 +19,19 @@ def _dense2d(x, spec_h, spec_w):
     return resize_axis_dense(y, spec_h, x.ndim - 2)
 
 
+def _dense2d_u8(x, spec_h, spec_w):
+    """Pillow-faithful uint8 reference: the horizontal pass's output is
+    quantised to the u8 lattice before the vertical pass, exactly like
+    Pillow's ImagingResample (and, since round 2, like the u8->u8 fused
+    kernels).  The unquantised composition is NOT the right oracle for
+    u8->u8: on bicubic upsampling Pillow's intermediate clamp changes
+    outputs by up to ~19/255 (verified against PIL.Image.resize)."""
+    t = resize_axis_dense(x.astype(jnp.float32), spec_w, x.ndim - 1)
+    t = jnp.clip(jnp.floor(t + 0.5), 0, 255)
+    y = resize_axis_dense(t, spec_h, x.ndim - 2)
+    return jnp.clip(jnp.floor(y + 0.5), 0, 255)
+
+
 CASES = [
     # (shape, (oh, ow), mode, in_dtype, out_dtype)
     ((2, 3, 438, 906), (196, 320), "bilinear", jnp.uint8, jnp.uint8),
@@ -39,12 +52,12 @@ def test_fused_pipeline_matches_dense(rng, shape, ohw, mode, idt, odt):
     assert resize2d_supported(x, spec_h, spec_w)
     y = resize2d_pallas(x, spec_h, spec_w, out_dtype=odt)
     assert y.shape == (*shape[:-2], *ohw) and y.dtype == odt
-    ref = _dense2d(x.astype(jnp.float32), spec_h, spec_w)
     if odt == jnp.uint8:
-        ref = jnp.clip(jnp.floor(ref + 0.5), 0, 255)
+        ref = _dense2d_u8(x, spec_h, spec_w)
         err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref)))
         assert err <= 1.0, err  # split-precision may flip a rounding boundary
     else:
+        ref = _dense2d(x.astype(jnp.float32), spec_h, spec_w)
         err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref)))
         scale = float(jnp.max(jnp.abs(ref))) + 1e-6
         tol = 2e-2 if (idt == jnp.bfloat16 or odt == jnp.bfloat16) else 1e-3
@@ -106,12 +119,12 @@ def test_onekernel_matches_dense(rng, shape, ohw, mode, idt, odt):
     assert resize2d_onekernel_supported(x, spec_h, spec_w)
     y = resize2d_onekernel(x, spec_h, spec_w, out_dtype=odt)
     assert y.shape == (*shape[:-2], *ohw) and y.dtype == odt
-    ref = _dense2d(x.astype(jnp.float32), spec_h, spec_w)
     if odt == jnp.uint8:
-        ref = jnp.clip(jnp.floor(ref + 0.5), 0, 255)
+        ref = _dense2d_u8(x, spec_h, spec_w)
         err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref)))
         assert err <= 1.0, err
     else:
+        ref = _dense2d(x.astype(jnp.float32), spec_h, spec_w)
         err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref)))
         scale = float(jnp.max(jnp.abs(ref))) + 1e-6
         assert err <= (255.0 if idt == jnp.uint8 else 1.0) * 2e-4 + 1e-3 * scale, err
@@ -131,8 +144,7 @@ def test_onekernel_odd_batch(rng):
     spec_h = make_axis_spec(50, 30, "bilinear")
     spec_w = make_axis_spec(60, 40, "bilinear")
     y = resize2d_onekernel(x, spec_h, spec_w, out_dtype=jnp.uint8)
-    ref = _dense2d(x.astype(jnp.float32), spec_h, spec_w)
-    ref = jnp.clip(jnp.floor(ref + 0.5), 0, 255)
+    ref = _dense2d_u8(x, spec_h, spec_w)
     assert float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref))) <= 1.0
 
 
@@ -156,6 +168,9 @@ STREAM_CASES = [
     ((1, 219, 391), (108, 192), "bilinear", jnp.float32, jnp.float32),
     ((1, 438, 906), (196, 320), "bilinear", jnp.uint8, jnp.uint8),
     ((2, 301, 400), (150, 333), "bicubic", jnp.float32, jnp.float32),
+    # u8 bicubic UPSAMPLE: exercises the Pillow-faithful intermediate
+    # quantisation (overshoot clamp) through the streamed route
+    ((1, 64, 256), (130, 512), "bicubic", jnp.uint8, jnp.uint8),
     ((1, 215, 250), (430, 125), "bilinear", jnp.bfloat16, jnp.bfloat16),
 ]
 
@@ -170,10 +185,9 @@ def test_streamed_matches_dense(rng, shape, ohw, mode, idt, odt):
     assert resize2d_streamed_supported(x, spec_h, spec_w, odt, inter_dtype=inter)
     y = resize2d_streamed(x, spec_h, spec_w, out_dtype=odt, inter_dtype=inter)
     assert y.shape == (*shape[:-2], *ohw) and y.dtype == odt
-    ref = _dense2d(x.astype(jnp.float32), spec_h, spec_w)
-    err = float(jnp.max(jnp.abs(y.astype(jnp.float32)
-                                - (jnp.clip(jnp.floor(ref + 0.5), 0, 255)
-                                   if odt == jnp.uint8 else ref))))
+    ref = (_dense2d_u8(x, spec_h, spec_w) if odt == jnp.uint8
+           else _dense2d(x.astype(jnp.float32), spec_h, spec_w))
+    err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref)))
     if odt == jnp.uint8:
         assert err <= 1.0, err
     elif idt == jnp.bfloat16:
