@@ -19,6 +19,14 @@ sys.path.insert(0, ".")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="fewer iters")
+    ap.add_argument(
+        "--sustained",
+        action="store_true",
+        help="two-point method: time the on-device loop at two iteration "
+        "counts and difference out the tunnel's fixed host-read latency "
+        "(same methodology as bench.py; produces the docs/BENCHMARKS.md "
+        "'sustained device rates' table)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -36,17 +44,28 @@ def main():
 
     def report(name, fn, x, out_pixels):
         try:
-            r = time_jit_loop(fn, x, iters=iters)
-            print(
-                json.dumps(
-                    {
-                        "config": name,
-                        "ms": round(r.seconds * 1e3, 3),
-                        "out_Mpix_s": round(out_pixels / r.seconds / 1e6, 1),
-                    }
-                ),
-                flush=True,
-            )
+            if args.sustained:
+                lo, hi = (5, 20) if args.quick else (10, 50)
+                r_lo = time_jit_loop(fn, x, iters=lo, repeats=5)
+                r_hi = time_jit_loop(fn, x, iters=hi, repeats=5)
+                sec = max(
+                    (hi * r_hi.seconds - lo * r_lo.seconds) / (hi - lo), 1e-9
+                )
+                row = {
+                    "config": name,
+                    "ms_sustained": round(sec * 1e3, 3),
+                    "ms_incl_host_sync": round(r_hi.seconds * 1e3, 3),
+                    "out_Mpix_s": round(out_pixels / sec / 1e6, 1),
+                }
+            else:
+                r = time_jit_loop(fn, x, iters=iters)
+                sec = r.seconds
+                row = {
+                    "config": name,
+                    "ms": round(sec * 1e3, 3),
+                    "out_Mpix_s": round(out_pixels / sec / 1e6, 1),
+                }
+            print(json.dumps(row), flush=True)
         except Exception as e:
             print(json.dumps({"config": name, "error": repr(e)[:120]}), flush=True)
 
@@ -74,6 +93,25 @@ def main():
         lambda t: ia.resize(t, (196, 320), method="bicubic", data_format="NHWC"),
         xh,
         64 * 196 * 320,
+    )
+
+    # 2b. bit-exact Pillow backend (round-2 digit-split kernel)
+    report(
+        "pil-exact-u8-b64",
+        lambda t: ia.resize(t, (196, 320), backend="pil_exact"),
+        x,
+        64 * 196 * 320,
+    )
+
+    # 2c. crop ops: traced-box crop_and_resize, batch 64 from the headline res
+    b01 = rng.uniform(0.0, 0.35, size=(64, 2)).astype(np.float32)
+    b23 = rng.uniform(0.65, 1.0, size=(64, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([b01, b23], axis=1))  # (y0,x0,y1,x1)
+    report(
+        "crop_and_resize-b64",
+        lambda t: ia.crop_and_resize(t, boxes, (224, 224)),
+        x,
+        64 * 224 * 224,
     )
 
     # 3. ImageNet eval preprocessing: batch-64 -> 224x224 + normalise
