@@ -33,6 +33,7 @@ Two band sources:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -1159,14 +1160,88 @@ def _tiles_stream_cached(spec: AxisSpec) -> BandedTiles:
                         in_cap=_round_up(spec.in_size, 8))
 
 
-def _streamed_vmem(x_dtype, out_dtype, inter_dtype, W, OW, btw, bth) -> int:
+@dataclasses.dataclass(frozen=True)
+class _StreamChunkPlan:
+    """Column-chunking of the W pass for the streamed kernel.
+
+    ``chunks[c]`` is a tuple of ``(w_tile_index, offset_in_window)`` pairs:
+    the W-band tiles chunk ``c`` computes and where each tile's static
+    ``k_in_w`` input slice begins inside the chunk's DMA'd column window.
+    ``col_starts[c]`` is the (128-aligned, clamped) first input column of
+    chunk ``c``'s window and ``ccols`` its static width.  One chunk that
+    spans every W tile (``n_chunks == 1``, ``ccols == Wp``) reproduces the
+    round-2 whole-row kernel exactly.
+    """
+
+    chunks: tuple
+    col_starts: tuple  # [n_chunks] int, 128-aligned
+    ccols: int
+    tiles_per_chunk: int
+
+    @property
+    def n_chunks(self) -> int:
+        return len(self.chunks)
+
+
+def _stream_chunk_plan(btw, Wp: int, tiles_per_chunk: int) -> _StreamChunkPlan:
+    """Group ``tiles_per_chunk`` consecutive W-output tiles per column chunk.
+
+    Consecutive tiles read a contiguous input column range (band starts are
+    monotone), so each chunk's window is one strided HBM->VMEM DMA with a
+    128-aligned column offset.  Windows are clamped into ``[0, Wp]``; tile
+    offsets are recomputed against the clamped start, so clamping never
+    changes which pixels a tile reads.
+    """
+    ct = max(1, int(tiles_per_chunk))
+    n_chunks = -(-btw.n_tiles // ct)
+    spans = []
+    for c in range(n_chunks):
+        t0, t1 = c * ct, min((c + 1) * ct, btw.n_tiles)
+        lo = (int(btw.starts[t0]) // _LANE) * _LANE
+        hi = int(btw.starts[t1 - 1]) + btw.k_in
+        spans.append(hi - lo)
+    ccols = min(_round_up(max(spans), _LANE), Wp)
+    chunks, col_starts = [], []
+    for c in range(n_chunks):
+        t0, t1 = c * ct, min((c + 1) * ct, btw.n_tiles)
+        lo = (int(btw.starts[t0]) // _LANE) * _LANE
+        lo = max(0, min(lo, Wp - ccols))
+        col_starts.append(lo)
+        chunks.append(tuple((wt, int(btw.starts[wt]) - lo) for wt in range(t0, t1)))
+    return _StreamChunkPlan(
+        chunks=tuple(chunks),
+        col_starts=tuple(col_starts),
+        ccols=ccols,
+        tiles_per_chunk=ct,
+    )
+
+
+def _streamed_vmem(x_dtype, out_dtype, inter_dtype, ccols, tiles_per_chunk,
+                   btw, bth) -> int:
     ib = jnp.dtype(x_dtype).itemsize
     k_rows = bth.k_in
     band_bytes = (btw.n_tiles * btw.k_in + bth.n_tiles * bth.k_in) * _LANE * 4
-    win = 2 * k_rows * _round_up(W, _LANE) * ib
-    inter = k_rows * btw.out_padded * jnp.dtype(inter_dtype).itemsize
-    outb = 2 * _LANE * _round_up(OW, _LANE) * jnp.dtype(out_dtype).itemsize
+    win = 2 * k_rows * ccols * ib
+    inter = k_rows * tiles_per_chunk * _LANE * jnp.dtype(inter_dtype).itemsize
+    outb = 2 * _LANE * tiles_per_chunk * _LANE * jnp.dtype(out_dtype).itemsize
     return band_bytes + win + inter + outb
+
+
+def _stream_plan(x_dtype, out_dtype, inter_dtype, Wp, btw, bth):
+    """Largest-chunk plan that fits the VMEM budget, or None.
+
+    Prefers one whole-row chunk (fewest DMAs, zero column-halo re-read) and
+    shrinks the chunk width only when the row window would not fit — the
+    wide-f32 case that round 2's whole-row kernel had to fall back on."""
+    for ct in range(btw.n_tiles, 0, -1):
+        plan = _stream_chunk_plan(btw, Wp, ct)
+        if (
+            _streamed_vmem(x_dtype, out_dtype, inter_dtype, plan.ccols,
+                           plan.tiles_per_chunk, btw, bth)
+            <= _VMEM_BUDGET
+        ):
+            return plan
+    return None
 
 
 def resize2d_streamed_supported(
@@ -1192,60 +1267,79 @@ def resize2d_streamed_supported(
     if btw.n_tiles > _MAX_UNROLL_TILES:
         return False
     return (
-        _streamed_vmem(x.dtype, out_dtype, inter_dtype, W, spec_w.out_size,
-                       btw, bth)
-        <= _VMEM_BUDGET
+        _stream_plan(x.dtype, out_dtype, inter_dtype, _round_up(W, _LANE),
+                     btw, bth)
+        is not None
     )
 
 
 def _kernel_2pass_streamed(
-    starts_ref, x_hbm, bandw_ref, bandh_ref, o_ref, win, inter, sem,
-    *, k_rows, W, OW, starts_w, k_in_w, precision, out_dtype, inter_dtype,
+    starts_ref, cstarts_ref, x_hbm, bandw_ref, bandh_ref, o_ref, win, inter,
+    sem, *, k_rows, chunks, k_in_w, precision, out_dtype, inter_dtype,
     in_exact, quant_inter=False,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
-    T = jnp.int32(pl.num_programs(1))
+    c = pl.program_id(2)
     B = jnp.int32(pl.num_programs(0))
-    step = b * T + t
+    T = jnp.int32(pl.num_programs(1))
+    C = jnp.int32(pl.num_programs(2))
+    step = (b * T + t) * C + c
 
-    def dma(slot, b_i, t_i):
+    def dma(slot, b_i, t_i, c_i):
         return pltpu.make_async_copy(
-            x_hbm.at[b_i, pl.ds(pl.multiple_of(starts_ref[t_i], 8), k_rows), :],
+            x_hbm.at[
+                b_i,
+                pl.ds(pl.multiple_of(starts_ref[t_i], 8), k_rows),
+                pl.ds(pl.multiple_of(cstarts_ref[c_i], _LANE), win.shape[2]),
+            ],
             win.at[slot],
             sem.at[slot],
         )
 
     @pl.when(step == 0)
     def _():
-        dma(0, b, t).start()
+        dma(0, b, t, c).start()
 
     # prefetch the next step's window while this one computes
-    nb = b + (t + jnp.int32(1)) // T
-    nt = jax.lax.rem(t + jnp.int32(1), T)
+    nc = jax.lax.rem(c + jnp.int32(1), C)
+    tc = t + (c + jnp.int32(1)) // C
+    nt = jax.lax.rem(tc, T)
+    nb = b + tc // T
 
-    @pl.when(step + 1 < B * T)
+    @pl.when(step + 1 < B * T * C)
     def _():
-        dma(jax.lax.rem(step + jnp.int32(1), jnp.int32(2)), nb, nt).start()
+        dma(jax.lax.rem(step + jnp.int32(1), jnp.int32(2)), nb, nt, nc).start()
 
     slot = jax.lax.rem(step, jnp.int32(2))
-    dma(slot, b, t).wait()
+    dma(slot, b, t, c).wait()
 
-    # pass 1: contract W over the window rows -> inter[k_rows, OW_pad]
-    for wt, sw in enumerate(starts_w):
-        xw = _widen(win[slot][:, sw : sw + k_in_w])
-        y = _mxu_dot(
-            xw, bandw_ref[wt], (((1,), (0,)), ((), ())), precision, in_exact
-        )
-        if quant_inter:
-            y = _quant_u8grid(y)
-        inter[:, wt * _LANE : (wt + 1) * _LANE] = y.astype(inter_dtype)
-    # pass 2: contract the window rows with this tile's H band -> 128 out rows
-    y = _mxu_dot(
-        bandh_ref[t], _widen(inter[...]), (((0,), (0,)), ((), ())), precision,
-        b_exact_bf16=quant_inter or jnp.dtype(inter_dtype) == jnp.bfloat16,
-    )
-    _store(o_ref, (0, slice(None), slice(0, OW)), y[:, :OW], out_dtype)
+    # One static branch per column chunk: its W tiles have static offsets
+    # inside the chunk's window.  With a single whole-row chunk this is the
+    # unconditional round-2 body.
+    for ci, tiles in enumerate(chunks):
+
+        @pl.when(c == ci)
+        def _(tiles=tiles):
+            # pass 1: contract W for this chunk's tiles -> inter columns
+            for j, (wt, off) in enumerate(tiles):
+                xw = _widen(win[slot][:, off : off + k_in_w])
+                y = _mxu_dot(
+                    xw, bandw_ref[wt], (((1,), (0,)), ((), ())), precision,
+                    in_exact,
+                )
+                if quant_inter:
+                    y = _quant_u8grid(y)
+                inter[:, j * _LANE : (j + 1) * _LANE] = y.astype(inter_dtype)
+            # pass 2: contract the window rows with this tile's H band
+            wci = len(tiles) * _LANE
+            y = _mxu_dot(
+                bandh_ref[t], _widen(inter[:, :wci]), (((0,), (0,)), ((), ())),
+                precision,
+                b_exact_bf16=quant_inter
+                or jnp.dtype(inter_dtype) == jnp.bfloat16,
+            )
+            _store(o_ref, (0, slice(None), slice(0, wci)), y, out_dtype)
 
 
 def resize2d_streamed(
@@ -1255,6 +1349,7 @@ def resize2d_streamed(
     out_dtype=None,
     inter_dtype=jnp.float32,
     precision="default",
+    max_tiles_per_chunk: int | None = None,
 ) -> jax.Array:
     """Separable 2-D resize of trailing [H, W] in one pallas_call, streaming
     halo'd row windows for images whose full height does not fit VMEM.
@@ -1263,7 +1358,15 @@ def resize2d_streamed(
     alignment), the input is zero-padded host-side to the next aligned shape
     — one extra HBM copy of the input, but the streamed profile (no
     intermediate round-trip) is preserved; pad rows/cols carry zero weight
-    in the band so the result is bit-identical to the aligned case."""
+    in the band so the result is bit-identical to the aligned case.
+
+    Rows too WIDE for a whole-row window (e.g. 8K float32 at shrink >= 2)
+    are handled by column chunking (:func:`_stream_plan`): the grid gains a
+    third dimension over column chunks, each step DMAs only the
+    ``[k_rows, ccols]`` sub-window its W tiles read, and pass 2 — separable
+    over output columns — contracts just that chunk.  The only extra HBM
+    traffic is the column halo between adjacent chunks (~``k_in_w`` cols
+    per chunk boundary)."""
     precision = _resolve_precision(precision)
     if out_dtype is None:
         out_dtype = jnp.float32 if x.dtype == jnp.uint8 else x.dtype
@@ -1279,14 +1382,24 @@ def resize2d_streamed(
     Hp, Wp = _round_up(H, 8), _round_up(W, _LANE)
     if (Hp, Wp) != (H, W):
         x3 = jnp.pad(x3, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    plan = _stream_plan(x.dtype, out_dtype, inter_dtype, Wp, btw, bth)
+    if plan is None:
+        raise ValueError(
+            "resize2d_streamed: no column-chunk plan fits the VMEM budget "
+            f"(W={W}, k_rows={bth.k_in}, dtype={x.dtype})"
+        )
+    if max_tiles_per_chunk is not None and (
+        max_tiles_per_chunk < plan.tiles_per_chunk
+    ):  # test hook: force column chunking on shapes that would fit whole-row
+        plan = _stream_chunk_plan(btw, Wp, max_tiles_per_chunk)
+    C, CT = plan.n_chunks, plan.tiles_per_chunk
     starts_h = jnp.asarray(bth.starts, dtype=jnp.int32)
+    col_starts = jnp.asarray(plan.col_starts, dtype=jnp.int32)
 
     kern = functools.partial(
         _kernel_2pass_streamed,
         k_rows=bth.k_in,
-        W=Wp,
-        OW=OW,
-        starts_w=tuple(int(s) for s in btw.starts),
+        chunks=plan.chunks,
         k_in_w=btw.k_in,
         precision=precision,
         out_dtype=out_dtype,
@@ -1297,46 +1410,49 @@ def resize2d_streamed(
         ),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, T),
+        num_scalar_prefetch=2,
+        grid=(B, T, C),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec(
                 (btw.n_tiles, btw.k_in, _LANE),
-                lambda b, t, starts: (0, 0, 0),
+                lambda b, t, c, starts, cstarts: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (bth.n_tiles, bth.k_in, _LANE),
-                lambda b, t, starts: (0, 0, 0),
+                lambda b, t, c, starts, cstarts: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, _LANE, OW), lambda b, t, starts: (b, t, 0),
+            (1, _LANE, CT * _LANE),
+            lambda b, t, c, starts, cstarts: (b, t, c),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, bth.k_in, Wp), x.dtype),
-            pltpu.VMEM((bth.k_in, btw.out_padded), jnp.dtype(inter_dtype)),
+            pltpu.VMEM((2, bth.k_in, plan.ccols), x.dtype),
+            pltpu.VMEM((bth.k_in, CT * _LANE), jnp.dtype(inter_dtype)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     ib = x.dtype.itemsize
     y = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, bth.out_padded, OW), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, bth.out_padded, C * CT * _LANE), out_dtype
+        ),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * T * bth.k_in * (btw.k_in * btw.out_padded
                                           + _LANE * btw.out_padded),
-            bytes_accessed=B * T * bth.k_in * Wp * ib
+            bytes_accessed=B * T * C * bth.k_in * plan.ccols * ib
             + B * OH * OW * out_dtype.itemsize,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(starts_h, x3, jnp.asarray(btw.band), jnp.asarray(bth.band))
-    return y[:, :OH, :].reshape(*lead, OH, OW)
+    )(starts_h, col_starts, x3, jnp.asarray(btw.band), jnp.asarray(bth.band))
+    return y[:, :OH, :OW].reshape(*lead, OH, OW)
 
 
 def transpose_supported(g: jax.Array, spec: AxisSpec, axis: int) -> bool:
