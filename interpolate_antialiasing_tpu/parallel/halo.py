@@ -178,6 +178,43 @@ def plan_halo_banded(
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _local_contract_pallas(ext3, out_size, starts_d, bands_d, WdT):
+    """Differentiable shard-local banded H contraction.
+
+    Forward: the Pallas mid-axis banded pass (runtime starts/band values —
+    every device runs one program, its shard's values selected by
+    ``lax.axis_index``).  A raw ``pallas_call`` has no autodiff rules, so
+    this wrapper supplies the exact adjoint: the op is linear, its VJP is
+    the transposed local contraction ``WdT @ g`` — shard-local, no
+    communication (the ring-exchange transpose is handled by ppermute's own
+    transpose rule outside).  This is what makes ``resize_sharded`` /
+    ``halo_resize_h`` trainable end-to-end on the explicit shard_map path.
+    """
+    from ..ops.pallas_resize import banded_pass_mid_dynamic
+
+    return banded_pass_mid_dynamic(ext3, starts_d, bands_d, out_size=out_size)
+
+
+def _local_contract_fwd(ext3, out_size, starts_d, bands_d, WdT):
+    y = _local_contract_pallas(ext3, out_size, starts_d, bands_d, WdT)
+    return y, (starts_d, bands_d, WdT)
+
+
+def _local_contract_bwd(out_size, res, g):
+    starts_d, bands_d, WdT = res
+    # d_ext[b, h, w] = sum_o WdT[h, o] g[b, o, w] — exact transposed band
+    d_ext = jnp.einsum(
+        "ho,bow->bhw", WdT, g, precision=jax.lax.Precision.HIGHEST
+    ).astype(g.dtype)
+    return d_ext, jnp.zeros_like(starts_d), jnp.zeros_like(bands_d), (
+        jnp.zeros_like(WdT)
+    )
+
+
+_local_contract_pallas.defvjp(_local_contract_fwd, _local_contract_bwd)
+
+
 def _halo_local_h(xl, plan: HaloPlan, n: int, axis: str, h_axis: int,
                   starts_all, bands_all, Wl, use_pallas: bool):
     """Shard-local body: ring halo exchange + banded/dense local H pass.
@@ -201,8 +238,6 @@ def _halo_local_h(xl, plan: HaloPlan, n: int, axis: str, h_axis: int,
         ext = xl
     d = jax.lax.axis_index(axis)
     if use_pallas:
-        from ..ops.pallas_resize import banded_pass_mid_dynamic
-
         pad = [(0, 0)] * ext.ndim
         pad[h_axis] = (0, plan.ext_pad - ext.shape[h_axis])
         ext = jnp.pad(ext, pad)
@@ -210,11 +245,12 @@ def _halo_local_h(xl, plan: HaloPlan, n: int, axis: str, h_axis: int,
         trail = ext.shape[h_axis + 1 :]
         B = int(np.prod(lead)) if lead else 1
         Wt = int(np.prod(trail)) if trail else 1
-        y3 = banded_pass_mid_dynamic(
+        y3 = _local_contract_pallas(
             ext.reshape(B, plan.ext_pad, Wt),
+            plan.ol,
             starts_all[d],
             bands_all[d],
-            out_size=plan.ol,
+            jnp.swapaxes(Wl[d], 0, 1).astype(jnp.float32),
         )
         return y3.reshape(*lead, plan.ol, *trail)
     Wd = Wl[d]  # [ol, ext_pad]
@@ -305,8 +341,13 @@ def resize_sharded(
     unsharded), then the H pass does the two-``ppermute`` halo exchange and
     the banded local contraction.  Sizes need not divide the mesh axis.
     uint8 inputs are resampled in float32 and rounded back PIL-style.
-    Forward path (preprocessing/serving); for differentiable sharded
-    training use the jit-partitioned route (models/train.py).
+
+    Differentiable (reverse mode) for float inputs: the W pass is the
+    registered per-axis primitive and the local H contraction carries a
+    custom VJP (:func:`_local_contract_pallas`), so ``jax.grad`` through
+    the whole shard_map chain equals the unsharded gradient.  Forward-mode
+    ``jax.jvp`` is not available on this explicit path (custom_vjp); use
+    the jit-partitioned route (models/train.py) when jvp is needed.
     """
     from ..ops.resize import _axes_for
 
@@ -334,9 +375,11 @@ def resize_sharded(
     pspec = P(*[axis if i == h_axis else None for i in range(x.ndim)])
 
     def local(xl):
-        from ..ops.resize import _apply_axis
+        # W pass, fully local: the registered per-axis primitive, so the
+        # pass is differentiable (fwd+rev) on every backend route.
+        from ..ops.resize import _apply_axis_diff
 
-        yl = _apply_axis(xl, spec_w, w_axis, "auto")  # W pass: fully local
+        yl = _apply_axis_diff(xl, spec_w, w_axis, "auto")
         return _halo_local_h(
             yl, plan=plan, n=n, axis=axis, h_axis=h_axis,
             starts_all=starts_all, bands_all=bands_all, Wl=Wl,

@@ -163,3 +163,52 @@ def test_plan_halo_banded_geometry():
     sums = plan.Wl.sum(axis=2)  # [8, ol]
     flat = sums.reshape(-1)[:29]
     np.testing.assert_allclose(flat, 1.0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Round 2b: gradients through the explicit shard_map path
+# ---------------------------------------------------------------------------
+
+
+def _sharded_loss(v, mesh, use_pallas):
+    from interpolate_antialiasing_tpu.parallel import resize_sharded
+
+    y = resize_sharded(v, (40, 48), mesh, mode="bicubic",
+                       use_pallas=use_pallas)
+    return jnp.sum(jnp.sin(y))
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_resize_sharded_grad_matches_unsharded(rng, use_pallas):
+    """jax.grad through resize_sharded (ppermute ring + local passes) must
+    equal the gradient of the unsharded op.  The Pallas local contraction
+    carries a custom VJP (exact transposed band, shard-local); the ring
+    exchange and pad/slice transpose via standard rules.  Round 2 had no
+    gradient on this path at all (STATUS limitation, now lifted)."""
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("sp",))
+    x = jnp.asarray(rng.random((2, 64, 96)).astype(np.float32))
+
+    def loss_ref(v):
+        y = ia.resize_plane(v, (40, 48), 1, 2, mode="bicubic", backend="xla")
+        return jnp.sum(jnp.sin(y))
+
+    g_ref = jax.grad(loss_ref)(x)
+    g = jax.grad(lambda v: _sharded_loss(v, mesh, use_pallas))(x)
+    tol = 1e-5 if use_pallas else 1e-6
+    assert float(jnp.max(jnp.abs(g - g_ref))) <= tol
+
+
+def test_halo_resize_h_adjoint_identity(rng):
+    """<W x, y> == <x, W^T y> through halo_resize_h's full shard_map chain
+    (pad + ppermute exchange + local contraction + slice), both routes."""
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("sp",))
+    x = jnp.asarray(rng.random((3, 56, 64)).astype(np.float32))
+    y = jnp.asarray(rng.random((3, 24, 64)).astype(np.float32))
+    for up in (False, True):
+        f = lambda v: halo_resize_h(v, 24, mesh, mode="bilinear",
+                                    use_pallas=up)
+        fx, vjp = jax.vjp(f, x)
+        (xt,) = vjp(y)
+        lhs = float(jnp.vdot(fx, y))
+        rhs = float(jnp.vdot(x, xt))
+        assert abs(lhs - rhs) <= 1e-3 * max(1.0, abs(lhs)), (up, lhs, rhs)
