@@ -148,6 +148,25 @@ def probe_matmul(n: int, dtype_name: str, precision, lo: int, hi: int):
     return 2.0 * n * n * n / s / 1e12  # TFLOP/s
 
 
+def probe_matmul_int8(n: int, lo: int, hi: int):
+    """v5e's native int8 MXU path (the pil_exact digit kernel's engine)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(-127, 128, (n, n), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-127, 128, (n, n), dtype=np.int8))
+
+    def step(x):
+        y = jax.lax.dot_general(
+            x, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return (y & jnp.int32(127)).astype(jnp.int8)  # bounded feedback
+
+    s, _ = _sustained_seconds(_loop_builder(step, a), lo, hi)
+    return 2.0 * n * n * n / s / 1e12  # TOP/s
+
+
 def probe_hbm(mbytes: int, lo: int, hi: int):
     import jax
     import jax.numpy as jnp
@@ -192,13 +211,23 @@ def audit_headline(args, ceilings):
 
     rep = kernel_report(x.shape, (oh, ow), "bilinear", jnp.uint8)
     lead = batch * 3
-    # Executed MXU passes under the default uint8 'split' precision
-    # (ops/pallas_resize.py::_mxu_dot): W axis contracts bf16-exact uint8
-    # pixels against the split weight band -> 2 bf16 passes; the u8->u8
-    # pipeline quantises the pass-1 intermediate to the u8 lattice
-    # (_quant_u8grid, Pillow-faithful), so the H axis pixel operand is
-    # bf16-exact too -> 2 passes (round 1's f32 intermediate needed 3).
-    passes = {"W": 2, "H": 2}
+    pil_route = "pil_exact" in rep.route
+    if pil_route:
+        # Round 2b 'auto' route: the bit-exact int8 digit kernel — three
+        # int8 MXU passes per axis (the balanced base-256 digit planes of
+        # Pillow's int32 coefficients, concatenated along the lane dim).
+        passes = {"W": 3, "H": 3}
+        mxu_ceiling_tmacs = ceilings["matmul_int8_tops"] / 2.0
+        ceiling_name = "int8"
+    else:
+        # Float route under the default uint8 'split' precision
+        # (ops/pallas_resize.py::_mxu_dot): W axis contracts bf16-exact
+        # uint8 pixels against the split weight band -> 2 bf16 passes; the
+        # u8->u8 pipeline quantises the pass-1 intermediate to the u8
+        # lattice (_quant_u8grid), so the H axis is 2 passes too.
+        passes = {"W": 2, "H": 2}
+        mxu_ceiling_tmacs = ceilings["matmul_bf16_tflops"] / 2.0
+        ceiling_name = "bf16"
     macs = sum(a["mmacs"] * 1e6 * passes[a["axis"]] for a in rep.axes) * lead
     hbm_bytes = rep.hbm_mbytes * 1e6  # in+out only: fused routes keep the
     # intermediate in VMEM (kernel_report route tells which fired)
@@ -206,7 +235,6 @@ def audit_headline(args, ceilings):
     t = dev_ms / 1e3 if dev_ms else sus_s
     tmacs = macs / t / 1e12
     gbps = hbm_bytes / t / 1e9
-    mxu_ceiling_tmacs = ceilings["matmul_bf16_tflops"] / 2.0
     return {
         "workload": "headline-u8-b64-bilinear 906x438->320x196",
         "route": rep.route,
@@ -215,7 +243,10 @@ def audit_headline(args, ceilings):
         "profiler_device_ms_per_batch": round(dev_ms, 3) if dev_ms else None,
         "executed_GMACs_per_batch": round(macs / 1e9, 3),
         "achieved_TMACs_per_s": round(tmacs, 2),
-        "pct_of_bf16_matmul_ceiling": round(100 * tmacs / mxu_ceiling_tmacs, 1),
+        "mxu_ceiling": ceiling_name,
+        f"pct_of_{ceiling_name}_matmul_ceiling": round(
+            100 * tmacs / mxu_ceiling_tmacs, 1
+        ),
         "hbm_GB_per_batch": round(hbm_bytes / 1e9, 4),
         "achieved_hbm_GBps": round(gbps, 1),
         "pct_of_stream_ceiling": round(100 * gbps / ceilings["hbm_stream_GBps"], 1),
@@ -242,6 +273,9 @@ def main() -> None:
     ceilings = {
         "matmul_bf16_tflops": round(
             probe_matmul(args.matmul_n, "bf16", jax.lax.Precision.DEFAULT, 10, 60), 1
+        ),
+        "matmul_int8_tops": round(
+            probe_matmul_int8(args.matmul_n, 10, 60), 1
         ),
         "matmul_f32_highest_tflops": round(
             probe_matmul(args.matmul_n, "f32", jax.lax.Precision.HIGHEST, 10, 40), 1

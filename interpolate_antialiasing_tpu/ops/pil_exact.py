@@ -24,15 +24,20 @@ Two execution paths, byte-identical by construction:
     axis — simple, the oracle of the oracle.
   * **Pallas digit-split path** (TPU): each int32 coefficient is decomposed
     into three balanced base-256 digits ``k = d2*2^16 + d1*2^8 + d0`` with
-    ``d_i in [-128, 128)``.  Every digit plane is *exact* in bfloat16 and
-    every product ``d_i * pixel`` fits 15 bits, so each 1-D pass is three
-    native-rate bf16 MXU matmuls with exact f32 accumulation (all partial
-    sums stay integers < 2^24), recombined in int32 on the VPU:
-    ``acc = (S2 << 16) + (S1 << 8) + S0 + 2^21``, then ``acc >> 22`` and
-    clip — bit-for-bit Pillow's fixed-point accumulate.  Both separable
-    passes (uint8 intermediate included) run in ONE pallas_call per image
-    block, making the bit-exact backend as fast as the float fast path
-    instead of a dense int32 matmul (round-1 state: 3x slower).
+    ``d_i in [-128, 127]`` — native int8 MXU operands.  Pixels enter the
+    MXU as ``xs = x - 128`` (int8); each 1-D pass is three int8 matmuls
+    with int32 accumulation (exact by construction), recombined on the
+    VPU with a per-output constant that restores the unsigned accumulate
+    and adds Pillow's rounding bias: ``acc = (S2<<16) + (S1<<8) + S0 +
+    (128*colsum(K) + 2^21)``, then ``acc >> 22`` and clip — bit-for-bit
+    Pillow's fixed-point pipeline (shifted partials may wrap int32; the
+    true accumulator fits, so modular addition cancels the wrap).  Both
+    separable passes (uint8 intermediate included, stored signed) run in
+    ONE pallas_call per image block.  v5e's int8 matmul path measures
+    ~2.5x the bf16 rate in-session, which makes the BIT-EXACT backend the
+    fastest uint8 path in the library — round 1 ran this as a dense int32
+    XLA matmul 3x slower than float; round 2 as 3 bf16 matmuls at ~0.9x
+    float; round 2b's int8 digits overtake the float path outright.
 """
 
 from __future__ import annotations
@@ -83,26 +88,33 @@ def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
 def _split_digits(K: np.ndarray) -> np.ndarray:
     """Balanced base-256 digit planes of an int32 coefficient matrix.
 
-    Returns ``D[3, out, in]`` float32 with ``K = D[2]*2^16 + D[1]*2^8 + D[0]``
-    and every digit in ``[-128, 128]`` — exactly representable in bfloat16
-    (7 fraction bits + implicit 1 covers integers to ±256).
+    Returns ``D[3, out, in]`` int8 with ``K = D[2]*2^16 + D[1]*2^8 + D[0]``
+    and every digit in ``[-128, 127]`` — each plane is a native int8 MXU
+    operand (v5e's int8 matmul path runs ~2.5x the bf16 rate, measured
+    in-session; see docs/BENCHMARKS.md).
     """
     k = K.astype(np.int64)
     d0 = ((k + 128) % 256) - 128
     k1 = (k - d0) >> 8
     d1 = ((k1 + 128) % 256) - 128
     d2 = (k1 - d1) >> 8
-    assert np.abs(d2).max() <= 255, "coefficient exceeds 3 balanced digits"
-    return np.stack([d0, d1, d2]).astype(np.float32)
+    assert np.abs(d2).max() <= 127, "coefficient exceeds 3 int8 digits"
+    return np.stack([d0, d1, d2]).astype(np.int8)
 
 
 @cache
 def _digit_tiles(in_size: int, out_size: int, mode: str):
-    """Tile-compacted digit bands for the Pallas path.
+    """Tile-compacted digit bands + rounding/bias constants (Pallas path).
 
     One window layout (starts, k_in) derived from the full coefficient
     matrix's nonzero structure, shared by all three digit planes:
-    ``bands[3, n_tiles, k_in, 128]`` bfloat16 (digits are bf16-exact).
+    ``bands[n_tiles, k_in, 3*128]`` int8 (digit planes side by side along
+    the lane dim — one MXU matmul per tile).  The kernel feeds the MXU
+    *signed* pixels ``xs = x - 128`` (uint8 does not fit int8), so the
+    per-output constant ``ct[t, u] = 128 * sum_h K[o,h] + 2^(PB-1)``
+    restores the unsigned accumulate AND carries Pillow's rounding bias;
+    int32 addition is associative mod 2^32 and the true accumulator fits
+    int32, so wrap-around in the shifted partial sums cancels exactly.
     """
     from .weights import banded_tiles_from_matrix
 
@@ -111,20 +123,32 @@ def _digit_tiles(in_size: int, out_size: int, mode: str):
         K.astype(np.float64), tile=128, dtype=np.float32, align=1,
         in_cap=in_size,
     )
-    D = _split_digits(K)  # [3, out, in]
+    D = _split_digits(K)  # [3, out, in] int8
     n_tiles, k_in = base.n_tiles, base.k_in
-    bands = np.zeros((3, n_tiles, k_in, 128), dtype=np.float32)
+    # digit planes concatenated along the output (lane) dim: one [k_in, 384]
+    # int8 matmul per tile instead of three [k_in, 128] ones — the MXU
+    # amortises the weight load over 3x the output columns.
+    bands = np.zeros((n_tiles, k_in, 3 * 128), dtype=np.int8)
+    ct = np.zeros((n_tiles, 128), dtype=np.int64)
+    colsum = K.astype(np.int64).sum(axis=1)  # [out]
     for t in range(n_tiles):
         s = int(base.starts[t])
-        rows = D[:, t * 128 : min((t + 1) * 128, out_size), :]
+        o1 = min((t + 1) * 128, out_size)
+        rows = D[:, t * 128 : o1, :]
         seg = rows[:, :, s : min(s + k_in, in_size)]
-        bands[:, t, : seg.shape[2], : seg.shape[1]] = np.swapaxes(seg, 1, 2)
-    # NB: return a *numpy* bf16 array, never a jax array: this function is
+        for d in range(3):
+            bands[t, : seg.shape[2], d * 128 : d * 128 + seg.shape[1]] = (
+                np.swapaxes(seg[d], 0, 1)
+            )
+        ct[t, : o1 - t * 128] = 128 * colsum[t * 128 : o1]
+    ct += 1 << (PRECISION_BITS - 1)
+    assert np.abs(ct).max() < 2**31
+    # NB: return *numpy* arrays, never jax arrays: this function is
     # @cache'd and may first run inside a jit trace, where jnp.asarray
     # yields a DynamicJaxprTracer constant — caching that tracer leaks it
     # into every later trace (UnexpectedTracerError on the second jit;
     # caught by the sustained benchmark sweep, round 2).  Callers convert.
-    return base, bands.astype(jnp.bfloat16)
+    return base, bands, ct.astype(np.int32)
 
 
 def _clip8(acc: jax.Array) -> jax.Array:
@@ -149,57 +173,73 @@ def _pass_last_int(x_u8: jax.Array, M: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _fixup_int(S0, S1, S2):
-    """Recombine exact digit sums into Pillow's int32 accumulator and clip:
-    ``clip8((S2<<16) + (S1<<8) + S0 + 2^21)`` — every S is an f32-held exact
-    integer (|S| < 2^24), so the int32 casts are exact."""
+def _fixup_int(S0, S1, S2, ct):
+    """Recombine int32 digit sums into Pillow's accumulator and clip:
+    ``clip8((S2<<16) + (S1<<8) + S0 + ct)`` where ``ct`` carries both the
+    signed-pixel bias and Pillow's rounding constant (see _digit_tiles).
+    The shifted partials may wrap int32; the true accumulator fits, so
+    modular addition lands on the exact value."""
     acc = (
-        jax.lax.shift_left(S2.astype(jnp.int32), jnp.int32(16))
-        + jax.lax.shift_left(S1.astype(jnp.int32), jnp.int32(8))
-        + S0.astype(jnp.int32)
-        + jnp.int32(1 << (PRECISION_BITS - 1))
+        jax.lax.shift_left(S2, jnp.int32(16))
+        + jax.lax.shift_left(S1, jnp.int32(8))
+        + S0
+        + ct
     )
     v = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
     return jnp.clip(v, jnp.int32(0), jnp.int32(255))
 
 
 def _kernel_2pass_pil(
-    x_ref, bandw_ref, bandh_ref, o_ref, scratch,
+    x_ref, bandw_ref, bandh_ref, ctw_ref, cth_ref, o_ref, scratch,
     *, bsz, OH, OW, starts_w, k_in_w, starts_h, k_in_h,
 ):
     """Both Pillow fixed-point passes (uint8 intermediate included) in one
-    kernel: per axis, 3 bf16 digit matmuls + int32 recombine."""
+    kernel: per axis, 3 native int8 MXU digit matmuls (signed pixels
+    ``x - 128``; the bias constant restores unsigned semantics) + int32
+    recombine.  Round 2 ran the digits as bf16 matmuls; int8 measures
+    ~2.5x the bf16 MXU rate on v5e, and the operands halve again."""
     for bi in range(bsz):
-        # pass 1 (W, Pillow's horizontal-first order) -> u8 values in scratch
+        # signed pixels once per image block: x - 128 == x XOR 0x80 for u8,
+        # so it's a single VPU op + bitcast (no i32 widening round-trip)
+        xs = jax.lax.bitcast_convert_type(
+            x_ref[bi] ^ jnp.uint8(128), jnp.int8
+        )
+        # pass 1 (W, Pillow's horizontal-first order) -> signed u8-grid
+        # intermediate in scratch (int8: (clip8 result) - 128).  The -128
+        # re-centering folds into the bias constant: shifting ct by
+        # 128<<PB before the arithmetic shift yields clip8(acc)-128 as
+        # clip(acc'>>PB, -128, 127) exactly (floor-shift composes), so the
+        # subtract runs on the [128]-wide constant, not the whole tile.
         for t, s in enumerate(starts_w):
-            win = x_ref[bi, :, s : s + k_in_w].astype(jnp.int32).astype(
-                jnp.bfloat16
-            )  # u8 pixels are bf16-exact
-            S = [
-                jax.lax.dot_general(
-                    win, bandw_ref[d, t], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                for d in range(3)
-            ]
-            u8 = _fixup_int(*S)
-            scratch[bi, :, t * 128 : (t + 1) * 128] = u8.astype(
-                jnp.bfloat16
-            )  # values <= 255: bf16-exact
+            win = xs[:, s : s + k_in_w]
+            S = jax.lax.dot_general(
+                win, bandw_ref[t], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [rows, 3*128]: the three digit sums side by side
+            ct1 = ctw_ref[t] - jnp.int32(128 << PRECISION_BITS)
+            acc = (
+                jax.lax.shift_left(S[:, 256:], jnp.int32(16))
+                + jax.lax.shift_left(S[:, 128:256], jnp.int32(8))
+                + S[:, :128]
+                + ct1[None, :]
+            )
+            v = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
+            scratch[bi, :, t * 128 : (t + 1) * 128] = jnp.clip(
+                v, jnp.int32(-128), jnp.int32(127)
+            ).astype(jnp.int8)
         # pass 2 (H) on the quantised intermediate -> u8 output rows
         for t, s in enumerate(starts_h):
             win = scratch[bi, s : s + k_in_h, :]
-            S = [
-                jax.lax.dot_general(
-                    bandh_ref[d, t], win, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                for d in range(3)
-            ]
-            u8 = _fixup_int(*S)
+            S = jax.lax.dot_general(
+                bandh_ref[t], win, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [3*128, OWp]: digit sums stacked along rows
+            u8v = _fixup_int(
+                S[:128], S[128:256], S[256:], cth_ref[t][:, None]
+            )
             rows = min(128, OH - t * 128)
             o_ref[bi, t * 128 : t * 128 + rows, :OW] = (
-                u8[:rows, :OW].astype(jnp.uint8)
+                u8v[:rows, :OW].astype(jnp.uint8)
             )
 
 
@@ -207,10 +247,10 @@ def _pil_vmem_bytes(H, W, OH, OW, btw, bth, bsz) -> int:
     def up(a, m):
         return -(-a // m) * m
 
-    band = 3 * (btw.n_tiles * btw.k_in + bth.n_tiles * bth.k_in) * 128 * 2
+    band = 3 * (btw.n_tiles * btw.k_in + bth.n_tiles * bth.k_in) * 128
     per_img = (
         up(H, 32) * up(W, 128) * 2  # u8 in, double buffered
-        + up(H, 16) * btw.out_padded * 2  # bf16 intermediate scratch
+        + up(H, 32) * btw.out_padded  # int8 intermediate scratch
         + up(OH, 32) * up(OW, 128) * 2  # u8 out, double buffered
     )
     return band + bsz * per_img
@@ -226,8 +266,8 @@ def pil_exact_pallas_supported(shape, oh, ow, method: str) -> bool:
     if len(shape) < 2:
         return False
     H, W = shape[-2], shape[-1]
-    btw, _ = _digit_tiles(W, ow, method)
-    bth, _ = _digit_tiles(H, oh, method)
+    btw, _, _ = _digit_tiles(W, ow, method)
+    bth, _, _ = _digit_tiles(H, oh, method)
     if btw.k_in > W or bth.k_in > H:
         return False
     if btw.n_tiles > _PIL_MAX_TILES or bth.n_tiles > _PIL_MAX_TILES:
@@ -243,8 +283,8 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, W = x3.shape
-    btw, bandsw = _digit_tiles(W, ow, method)
-    bth, bandsh = _digit_tiles(H, oh, method)
+    btw, bandsw, ctw = _digit_tiles(W, ow, method)
+    bth, bandsh, cth = _digit_tiles(H, oh, method)
     bsz = 1
     for cand in range(min(8, B), 0, -1):
         if B % cand == 0 and _pil_vmem_bytes(
@@ -269,14 +309,18 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
         in_specs=[
             pl.BlockSpec((bsz, H, W), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, btw.n_tiles, btw.k_in, 128),
-                         lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, bth.n_tiles, bth.k_in, 128),
-                         lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((btw.n_tiles, btw.k_in, 3 * 128),
+                         lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bth.n_tiles, bth.k_in, 3 * 128),
+                         lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((btw.n_tiles, 128), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bth.n_tiles, 128), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bsz, oh, ow), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((bsz, H, btw.out_padded), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((bsz, H, btw.out_padded), jnp.int8)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * B * (H * btw.k_in * btw.out_padded
                                + bth.k_in * bth.out_padded * btw.out_padded),
@@ -284,7 +328,8 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x3, bandsw, bandsh)
+    )(x3, jnp.asarray(bandsw), jnp.asarray(bandsh),
+      jnp.asarray(ctw), jnp.asarray(cth))
 
 
 def resize_pil_exact(

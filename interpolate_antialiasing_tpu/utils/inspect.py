@@ -105,16 +105,33 @@ def kernel_report(
     # (>= 2^21 source pixels); the uint8 path always tries them.
     odt = dt
     inter = jnp.dtype(jnp.bfloat16) if dt == jnp.bfloat16 else jnp.dtype(jnp.float32)
+    # u8 -> u8 plain-PIL calls promote to the bit-exact int8 digit kernel
+    # first (resize.py's 'auto' gate, round 2b)
+    pil_int8 = False
+    if dt == jnp.uint8 and antialias and mode in (
+        "bilinear", "bicubic", "box", "nearest", "lanczos3", "hamming"
+    ):
+        try:
+            from ..ops.pil_exact import pil_exact_pallas_supported
+
+            pil_int8 = pil_exact_pallas_supported(
+                in_shape, oh, ow, "box" if mode == "nearest" else mode
+            )
+        except Exception:
+            pil_int8 = False
     float_fused_gate = dt == jnp.uint8 or H * W >= (1 << 21)
     try:
-        onek = float_fused_gate and resize2d_onekernel_supported(
-            _Fake(), spec_h, spec_w, odt
+        onek = (
+            not pil_int8
+            and float_fused_gate
+            and resize2d_onekernel_supported(_Fake(), spec_h, spec_w, odt)
         )
     except Exception:
         onek = False
     try:
         streamed = (
             float_fused_gate
+            and not pil_int8
             and not onek
             and resize2d_streamed_supported(
                 _Fake(), spec_h, spec_w, odt, inter_dtype=inter
@@ -122,7 +139,9 @@ def kernel_report(
         )
     except Exception:
         streamed = False
-    if onek:
+    if pil_int8:
+        route = "pil_exact int8 digit kernel (bit-exact)"
+    elif onek:
         route = "single-kernel (resize2d_onekernel)"
     elif streamed:
         route = "streamed single-kernel (resize2d_streamed)"

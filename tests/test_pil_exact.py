@@ -112,8 +112,9 @@ def test_digit_split_pallas_bit_identical(rng, mode, hwos):
 
 
 def test_digit_split_decomposition_exact():
-    """k == d2*2^16 + d1*2^8 + d0 with |d_i| <= 128 for every coefficient of
-    every mode at the headline sizes (the bf16-exactness precondition)."""
+    """k == d2*2^16 + d1*2^8 + d0 with d_i in [-128, 127] for every coefficient of
+    every mode at the headline sizes (the int8-operand precondition — the
+    digit planes feed v5e's native int8 MXU path)."""
     from interpolate_antialiasing_tpu.ops.pil_exact import (
         _int_matrix,
         _split_digits,
@@ -122,7 +123,7 @@ def test_digit_split_decomposition_exact():
     for mode in ["bilinear", "bicubic", "lanczos3", "box", "hamming"]:
         K = _int_matrix(906, 320, mode)
         D = _split_digits(K).astype(np.int64)
-        assert np.abs(D).max() <= 128
+        assert D.max() <= 127 and D.min() >= -128  # int8 range
         recon = D[2] * 65536 + D[1] * 256 + D[0]
         np.testing.assert_array_equal(recon, K)
 
@@ -146,7 +147,7 @@ def test_digit_tiles_cache_never_holds_a_tracer():
         return x + 1
 
     first_touch(jnp.zeros((2, 2)))
-    _, bands = _digit_tiles(40, 16, "bilinear")
+    _, bands, _ct = _digit_tiles(40, 16, "bilinear")
     assert isinstance(bands, np.ndarray) and not isinstance(
         bands, jax.Array
     ), type(bands)
@@ -157,3 +158,31 @@ def test_digit_tiles_cache_never_holds_a_tracer():
         return x + jnp.asarray(bands, dtype=jnp.float32).sum()
 
     float(second_trace(jnp.float32(0)))
+
+
+def test_auto_backend_promotes_u8_to_pil_exact(rng, monkeypatch, capsys):
+    """Round 2b: with the int8 digit kernel the bit-exact path is the
+    FASTEST uint8 route, so resize(u8, backend='auto') promotes eligible
+    plain-PIL-semantics calls to it (exact output instead of MaxAbsE<=1).
+    Pinned by the debug route line AND byte-equality with PIL through the
+    public resize() entry (the float path differs from PIL on ~1% of
+    pixels at this size, so equality is a routing witness)."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.ops import resize as resize_mod
+
+    monkeypatch.setattr(resize_mod, "_on_tpu", lambda: True)
+    monkeypatch.setenv("IA_TPU_DEBUG", "1")
+    x = (rng.random((3, 64, 80)) * 255).astype(np.uint8)
+    y = np.asarray(ia.resize(jnp.asarray(x), (40, 48), method="bilinear"))
+    out = capsys.readouterr().out
+    assert "pil_exact int8 digit kernel" in out, out
+    im = Image.fromarray(np.transpose(x, (1, 2, 0)))
+    ref = np.transpose(
+        np.asarray(im.resize((48, 40), Image.BILINEAR)), (2, 0, 1)
+    )
+    np.testing.assert_array_equal(y, ref)
+    # non-PIL semantics must NOT be promoted (align_corners forces float)
+    ia.resize(jnp.asarray(x), (40, 48), method="bilinear",
+              align_corners=True)
+    assert "pil_exact int8 digit kernel" not in capsys.readouterr().out
