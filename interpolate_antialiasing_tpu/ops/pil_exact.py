@@ -103,7 +103,7 @@ def _split_digits(K: np.ndarray) -> np.ndarray:
 
 
 @cache
-def _digit_tiles(in_size: int, out_size: int, mode: str):
+def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1):
     """Tile-compacted digit bands + rounding/bias constants (Pallas path).
 
     One window layout (starts, k_in) derived from the full coefficient
@@ -115,13 +115,19 @@ def _digit_tiles(in_size: int, out_size: int, mode: str):
     restores the unsigned accumulate AND carries Pillow's rounding bias;
     int32 addition is associative mod 2^32 and the true accumulator fits
     int32, so wrap-around in the shifted partial sums cancels exactly.
+
+    ``align=1`` keeps windows inside the unpadded input (the whole-image
+    kernel's exact blocks); ``align=8`` produces 8-aligned window starts
+    against the 8-row-padded input (the streamed kernel's DMA contract,
+    cf. pallas_resize._tiles_stream_cached).
     """
     from .weights import banded_tiles_from_matrix
 
+    cap = in_size if align == 1 else -(-in_size // align) * align
     K = _int_matrix(in_size, out_size, mode)
     base = banded_tiles_from_matrix(
-        K.astype(np.float64), tile=128, dtype=np.float32, align=1,
-        in_cap=in_size,
+        K.astype(np.float64), tile=128, dtype=np.float32, align=align,
+        in_cap=cap,
     )
     D = _split_digits(K)  # [3, out, in] int8
     n_tiles, k_in = base.n_tiles, base.k_in
@@ -149,6 +155,12 @@ def _digit_tiles(in_size: int, out_size: int, mode: str):
     # into every later trace (UnexpectedTracerError on the second jit;
     # caught by the sustained benchmark sweep, round 2).  Callers convert.
     return base, bands, ct.astype(np.int32)
+
+
+def _use_tpu_kernels() -> bool:
+    """Route gate for the digit kernels (separate from the pallas
+    ``interpret`` flag so tests can exercise the routing on CPU)."""
+    return jax.default_backend() == "tpu"
 
 
 def _clip8(acc: jax.Array) -> jax.Array:
@@ -332,6 +344,169 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
       jnp.asarray(ctw), jnp.asarray(cth))
 
 
+# ---------------------------------------------------------------------------
+# Streamed digit pipeline: bit-exact Pillow for images too large for the
+# whole-image VMEM block (e.g. 4K frames) — the same halo'd row-window DMA
+# structure as pallas_resize.resize2d_streamed, with int8 digit matmuls.
+# ---------------------------------------------------------------------------
+
+
+def _round_up(a: int, m: int) -> int:
+    return -(-a // m) * m
+
+
+def _pil_streamed_vmem(W, OW, btw, bth) -> int:
+    k_rows = bth.k_in
+    Wp, OWp = _round_up(W, 128), btw.out_padded
+    return (
+        2 * k_rows * Wp  # u8 window, double buffered
+        + k_rows * OWp  # int8 intermediate
+        + (btw.n_tiles * btw.k_in + bth.n_tiles * k_rows) * 3 * 128  # bands
+        + 2 * 128 * OW  # u8 out blocks
+    )
+
+
+def pil_exact_streamed_supported(shape, oh, ow, method: str) -> bool:
+    if method == "pil_nearest" or len(shape) < 2:
+        return False
+    H, W = shape[-2], shape[-1]
+    btw, _, _ = _digit_tiles(W, ow, method)
+    bth, _, _ = _digit_tiles(H, oh, method, align=8)
+    if btw.k_in > W or bth.k_in > _round_up(H, 8):
+        return False
+    if btw.n_tiles > _PIL_MAX_TILES:
+        return False
+    return _pil_streamed_vmem(W, ow, btw, bth) <= _PIL_VMEM_BUDGET
+
+
+def _kernel_2pass_pil_streamed(
+    starts_ref, x_hbm, bandw_ref, bandh_ref, ctw_ref, cth_ref, o_ref,
+    win, inter, sem, *, k_rows, OW, starts_w, k_in_w,
+):
+    """One output-row tile per step: DMA the halo'd uint8 row window, run
+    both Pillow fixed-point passes on it with int8 digit matmuls (cf.
+    _kernel_2pass_pil), store 128 exact uint8 output rows."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    B = jnp.int32(pl.num_programs(0))
+    T = jnp.int32(pl.num_programs(1))
+    step = b * T + t
+
+    def dma(slot, b_i, t_i):
+        return pltpu.make_async_copy(
+            x_hbm.at[b_i, pl.ds(pl.multiple_of(starts_ref[t_i], 8), k_rows), :],
+            win.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, b, t).start()
+
+    nb = b + (t + jnp.int32(1)) // T
+    nt = jax.lax.rem(t + jnp.int32(1), T)
+
+    @pl.when(step + 1 < B * T)
+    def _():
+        dma(jax.lax.rem(step + jnp.int32(1), jnp.int32(2)), nb, nt).start()
+
+    slot = jax.lax.rem(step, jnp.int32(2))
+    dma(slot, b, t).wait()
+
+    xs = jax.lax.bitcast_convert_type(win[slot] ^ jnp.uint8(128), jnp.int8)
+    # pass 1 (W) over the window rows -> signed u8-grid intermediate
+    for wt, s in enumerate(starts_w):
+        S = jax.lax.dot_general(
+            xs[:, s : s + k_in_w], bandw_ref[wt], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        ct1 = ctw_ref[wt] - jnp.int32(128 << PRECISION_BITS)
+        acc = (
+            jax.lax.shift_left(S[:, 256:], jnp.int32(16))
+            + jax.lax.shift_left(S[:, 128:256], jnp.int32(8))
+            + S[:, :128]
+            + ct1[None, :]
+        )
+        v = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
+        inter[:, wt * 128 : (wt + 1) * 128] = jnp.clip(
+            v, jnp.int32(-128), jnp.int32(127)
+        ).astype(jnp.int8)
+    # pass 2 (H): this tile's digit band against the window rows
+    S = jax.lax.dot_general(
+        bandh_ref[t], inter[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [3*128, OWp]
+    u8v = _fixup_int(S[:128], S[128:256], S[256:], cth_ref[t][:, None])
+    o_ref[0, :, :] = u8v[:, :OW].astype(jnp.uint8)
+
+
+def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
+    """x3: uint8 [B, H, W] -> uint8 [B, oh, ow], bit-identical to Pillow,
+    streaming halo'd row windows (input never fully resident in VMEM)."""
+    from functools import partial as _partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W = x3.shape
+    btw, bandsw, ctw = _digit_tiles(W, ow, method)
+    bth, bandsh, cth = _digit_tiles(H, oh, method, align=8)
+    Hp, Wp = _round_up(H, 8), _round_up(W, 128)
+    if (Hp, Wp) != (H, W):
+        # zero pad rows/cols carry zero digit weight -> bit-identical
+        x3 = jnp.pad(x3, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    T = bth.n_tiles
+    kern = _partial(
+        _kernel_2pass_pil_streamed,
+        k_rows=bth.k_in,
+        OW=ow,
+        starts_w=tuple(int(s) for s in btw.starts),
+        k_in_w=btw.k_in,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((btw.n_tiles, btw.k_in, 3 * 128),
+                         lambda b, t, starts: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bth.n_tiles, bth.k_in, 3 * 128),
+                         lambda b, t, starts: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btw.n_tiles, 128), lambda b, t, starts: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bth.n_tiles, 128), lambda b, t, starts: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 128, ow), lambda b, t, starts: (b, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bth.k_in, Wp), jnp.uint8),
+            pltpu.VMEM((bth.k_in, btw.out_padded), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    y = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, bth.out_padded, ow), jnp.uint8),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * B * T * bth.k_in * (btw.k_in + 128) * btw.out_padded,
+            bytes_accessed=B * T * bth.k_in * Wp + B * oh * ow,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(bth.starts, dtype=jnp.int32), x3, jnp.asarray(bandsw),
+      jnp.asarray(bandsh), jnp.asarray(ctw), jnp.asarray(cth))
+    return y[:, :oh, :]
+
+
 def resize_pil_exact(
     x: jax.Array,
     size: Sequence[int],
@@ -363,7 +538,7 @@ def resize_pil_exact(
         return jnp.take(y, jnp.asarray(_nearest_indices(x.shape[w_axis], ow)),
                         axis=w_axis)
     # TPU fast path: single-kernel digit-split pipeline (bit-identical).
-    if jax.default_backend() == "tpu":
+    if _use_tpu_kernels():
         trailing = h_axis == x.ndim - 2 and w_axis == x.ndim - 1
         channels_last = (
             x.ndim >= 3 and h_axis == x.ndim - 3 and w_axis == x.ndim - 2
@@ -371,19 +546,29 @@ def resize_pil_exact(
         xk = x
         if channels_last:  # C-sized lanes waste the MXU; transpose round-trip
             xk = jnp.moveaxis(x, -1, -3)
-        if (trailing or channels_last) and pil_exact_pallas_supported(
-            xk.shape, oh, ow, method
-        ):
+        if trailing or channels_last:
             from ..config import debug_enabled
 
-            if debug_enabled():
-                print("[ia-tpu] pil_exact digit-split single-kernel")
             lead = xk.shape[:-2]
             B = int(np.prod(lead)) if lead else 1
-            y = _resize_pil_exact_pallas(
-                xk.reshape(B, xk.shape[-2], xk.shape[-1]), oh, ow, method
-            ).reshape(*lead, oh, ow)
-            return jnp.moveaxis(y, -3, -1) if channels_last else y
+            x3 = None
+            if pil_exact_pallas_supported(xk.shape, oh, ow, method):
+                if debug_enabled():
+                    print("[ia-tpu] pil_exact digit-split single-kernel")
+                x3 = _resize_pil_exact_pallas(
+                    xk.reshape(B, xk.shape[-2], xk.shape[-1]), oh, ow, method
+                )
+            elif pil_exact_streamed_supported(xk.shape, oh, ow, method):
+                # too large for whole-image VMEM blocks (e.g. 4K frames):
+                # stream halo'd row windows, still bit-identical
+                if debug_enabled():
+                    print("[ia-tpu] pil_exact digit-split streamed")
+                x3 = _resize_pil_exact_streamed(
+                    xk.reshape(B, xk.shape[-2], xk.shape[-1]), oh, ow, method
+                )
+            if x3 is not None:
+                y = x3.reshape(*lead, oh, ow)
+                return jnp.moveaxis(y, -3, -1) if channels_last else y
     Mh = jnp.asarray(_int_matrix(x.shape[h_axis], oh, method))
     Mw = jnp.asarray(_int_matrix(x.shape[w_axis], ow, method))
     # Pillow: horizontal pass first, uint8 intermediate, then vertical.

@@ -385,7 +385,11 @@ def resize(
                        "hamming")
         and _on_tpu()
     ):
-        from .pil_exact import pil_exact_pallas_supported, resize_pil_exact
+        from .pil_exact import (
+            pil_exact_pallas_supported,
+            pil_exact_streamed_supported,
+            resize_pil_exact,
+        )
 
         pil_method = "box" if method == "nearest" else method
         trailing_hw = h_axis % x.ndim == x.ndim - 2 and w_axis % x.ndim == x.ndim - 1
@@ -399,8 +403,9 @@ def resize(
             if channels_last
             else x.shape
         )
-        if (trailing_hw or channels_last) and pil_exact_pallas_supported(
-            shape_k, oh, ow, pil_method
+        if (trailing_hw or channels_last) and (
+            pil_exact_pallas_supported(shape_k, oh, ow, pil_method)
+            or pil_exact_streamed_supported(shape_k, oh, ow, pil_method)
         ):
             if debug_enabled():
                 print("[ia-tpu] uint8 auto -> pil_exact int8 digit kernel")

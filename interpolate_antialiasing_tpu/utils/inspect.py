@@ -112,11 +112,15 @@ def kernel_report(
         "bilinear", "bicubic", "box", "nearest", "lanczos3", "hamming"
     ):
         try:
-            from ..ops.pil_exact import pil_exact_pallas_supported
-
-            pil_int8 = pil_exact_pallas_supported(
-                in_shape, oh, ow, "box" if mode == "nearest" else mode
+            from ..ops.pil_exact import (
+                pil_exact_pallas_supported,
+                pil_exact_streamed_supported,
             )
+
+            m = "box" if mode == "nearest" else mode
+            pil_int8 = pil_exact_pallas_supported(
+                in_shape, oh, ow, m
+            ) or pil_exact_streamed_supported(in_shape, oh, ow, m)
         except Exception:
             pil_int8 = False
     float_fused_gate = dt == jnp.uint8 or H * W >= (1 << 21)

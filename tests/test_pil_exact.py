@@ -186,3 +186,59 @@ def test_auto_backend_promotes_u8_to_pil_exact(rng, monkeypatch, capsys):
     ia.resize(jnp.asarray(x), (40, 48), method="bilinear",
               align_corners=True)
     assert "pil_exact int8 digit kernel" not in capsys.readouterr().out
+
+
+STREAM_PIL_CASES = [
+    # (mode, (H, W, oh, ow)) under a shrunken VMEM budget (monkeypatched)
+    # so the whole-image kernel is rejected and the streamed row-window
+    # pipeline fires on CI-friendly shapes; the real-budget 4K behaviour
+    # is validated on hardware (commit log / BENCHMARKS.md).
+    ("bilinear", (1400, 900, 700, 450)),
+    ("bicubic", (1400, 900, 560, 360)),
+    ("lanczos3", (1200, 1000, 600, 400)),
+    # unaligned H and W: host zero-pad, pad rows/cols carry zero weight
+    ("bilinear", (1401, 903, 701, 451)),
+]
+
+_SMALL_BUDGET = 2 * 1024 * 1024
+
+
+@pytest.mark.parametrize("mode,hwos", STREAM_PIL_CASES)
+def test_streamed_digit_pipeline_bit_exact(rng, monkeypatch, mode, hwos):
+    """Round 2b: images too large for the whole-image VMEM block stream
+    halo'd row windows through the int8 digit kernel and remain
+    bit-identical to PIL.Image.resize."""
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+
+    monkeypatch.setattr(pe, "_PIL_VMEM_BUDGET", _SMALL_BUDGET)
+    H, W, oh, ow = hwos
+    assert not pe.pil_exact_pallas_supported((1, H, W), oh, ow, mode)
+    assert pe.pil_exact_streamed_supported((1, H, W), oh, ow, mode)
+    x = (rng.random((1, H, W)) * 255).astype(np.uint8)
+    y = np.asarray(pe._resize_pil_exact_streamed(jnp.asarray(x), oh, ow, mode))
+    im = PIL.fromarray(np.repeat(x, 3, axis=0).transpose(1, 2, 0))
+    ref = np.asarray(im.resize((ow, oh), PIL_MODES[mode])).transpose(2, 0, 1)[:1]
+    np.testing.assert_array_equal(y, ref)
+
+
+def test_streamed_digit_dispatch(rng, monkeypatch, capsys):
+    """resize_pil_exact and resize(auto) route oversize images to the
+    streamed digit pipeline (debug line pinned), byte-exact end to end."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+    from interpolate_antialiasing_tpu.ops import resize as resize_mod
+
+    monkeypatch.setattr(resize_mod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(pe, "_use_tpu_kernels", lambda: True)
+    monkeypatch.setattr(pe, "_PIL_VMEM_BUDGET", _SMALL_BUDGET)
+    monkeypatch.setenv("IA_TPU_DEBUG", "1")
+    H, W, oh, ow = 1400, 900, 700, 450
+    x = (rng.random((1, H, W)) * 255).astype(np.uint8)
+    y = np.asarray(ia.resize(jnp.asarray(x), (oh, ow), method="bilinear"))
+    out = capsys.readouterr().out
+    assert "pil_exact int8 digit kernel" in out, out
+    assert "digit-split streamed" in out, out
+    im = Image.fromarray(np.repeat(x, 3, axis=0).transpose(1, 2, 0))
+    ref = np.asarray(im.resize((ow, oh), Image.BILINEAR)).transpose(2, 0, 1)[:1]
+    np.testing.assert_array_equal(y, ref)
