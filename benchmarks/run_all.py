@@ -70,14 +70,27 @@ def main():
             print(json.dumps({"config": name, "error": repr(e)[:120]}), flush=True)
 
     # 1. headline: batch-64 uint8 906x438 -> 320x196 bilinear AA
+    # 'auto' is the shipped default: since round 2b it promotes eligible
+    # u8->u8 resizes to the bit-exact int8 digit kernel (MaxAbsE = 0);
+    # 'pallas' pins the float split-bf16 pipeline for comparison.
     x = jnp.asarray((rng.random((64, 3, 438, 906)) * 255).astype(np.uint8))
-    for backend in ["pallas", "dense", "gather"]:
+    for backend in ["auto", "pallas", "dense", "gather"]:
         report(
             f"headline-u8-b64[{backend}]",
             lambda t, b=backend: ia.resize(t, (196, 320), backend=b),
             x,
             64 * 196 * 320,
         )
+
+    # 1b. 4K u8 -> HD: the streamed int8 digit route (bit-exact at 4K)
+    x4k = jnp.asarray(rng.integers(0, 256, (24, 2160, 3840), dtype=np.uint8))
+    report(
+        "video-4k-u8-b8[auto=pil-int8-streamed]",
+        lambda t: ia.resize(t, (1080, 1920)),
+        x4k,
+        24 * 1080 * 1920,
+    )
+    del x4k
 
     # 2. bicubic, both layouts
     xf = x.astype(jnp.float32)
