@@ -109,3 +109,34 @@ def test_imagenet_train_pipeline(rng):
     assert float(jnp.max(jnp.abs(y - y2))) > 1e-3  # augmentation varies
     assert f._cache_size() == 1  # keys/boxes traced, single compile
     assert bool(jnp.isfinite(y).all())
+
+
+def test_imagenet_pipeline_matches_torchvision_pil(rng, monkeypatch):
+    """Round 2b: the eval pipeline's default resize_domain='uint8' computes
+    exactly what torchvision's PIL-backend eval stack does — PIL resize in
+    uint8, then ToTensor + Normalize.  With the bit-exact kernel route
+    forced (as on TPU), the pipeline equals the PIL+numpy reference to
+    float rounding."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.models.preprocess import (
+        _IMAGENET_MEAN,
+        _IMAGENET_STD,
+    )
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+    from interpolate_antialiasing_tpu.ops import resize as resize_mod
+
+    monkeypatch.setattr(resize_mod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(pe, "_use_tpu_kernels", lambda: True)
+    x = (rng.random((2, 3, 100, 150)) * 255).astype(np.uint8)
+    y = np.asarray(ImageNetEvalPipeline(size=(64, 96))(jnp.asarray(x)))
+    refs = []
+    for img in x:
+        im = Image.fromarray(img.transpose(1, 2, 0))
+        r = np.asarray(im.resize((96, 64), Image.BILINEAR)).transpose(2, 0, 1)
+        refs.append(r)
+    ref = np.stack(refs).astype(np.float32) / 255.0
+    mean = np.asarray(_IMAGENET_MEAN, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(_IMAGENET_STD, np.float32).reshape(1, 3, 1, 1)
+    ref = (ref - mean) / std
+    np.testing.assert_allclose(y, ref, atol=1e-6)
