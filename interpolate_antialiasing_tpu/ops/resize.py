@@ -114,15 +114,18 @@ def _resize_plane_impl(
     x: jax.Array, spec_h: AxisSpec, spec_w: AxisSpec, h_axis: int, w_axis: int, backend: str
 ) -> jax.Array:
     # Fused two-pass pipeline on trailing [H, W] (one pad, no inter-pass
-    # copies): always under backend='pallas'; under 'auto' only for large
-    # planes where the dense-XLA path's wasted FLOPs dominate (measured
-    # 2.5x at 4K) — small planes keep the bit-exact HIGHEST dense path.
+    # copies). Round 1 gated 'auto' to planes >= 2^21 px to keep small
+    # images on the HIGHEST-precision dense path, but the fused pipeline
+    # measures 8x the auto route at the 438x906 headline shape and 3x at
+    # 300x400 (profiler device time, 2026-08-17), and split precision
+    # holds the same Pillow MaxAbsE <= 1 gate — so 'auto' now always
+    # prefers the fused kernels and falls through only when unsupported.
+    # IA_TPU_PRECISION=f32 (or backend='dense') restores full-f32 math.
     if (
         backend in ("pallas", "auto")
         and _on_tpu()
         and h_axis % x.ndim == x.ndim - 2
         and w_axis % x.ndim == x.ndim - 1
-        and (backend == "pallas" or spec_h.in_size * spec_w.in_size >= (1 << 21))
     ):
         from .pallas_resize import (
             resize2d_onekernel,

@@ -101,8 +101,8 @@ def kernel_report(
     # the reported route always matches dispatch: resize() keeps the output
     # dtype equal to the input dtype by default (uint8 in -> uint8 out), and
     # uses a bf16 intermediate only for bf16 inputs.  Under backend="auto"
-    # the float path only enters the fused pipelines for large planes
-    # (>= 2^21 source pixels); the uint8 path always tries them.
+    # every dtype prefers the fused pipelines (round 2b dropped the
+    # large-plane gate), with u8->u8 promoting to the pil int8 kernel first.
     odt = dt
     inter = jnp.dtype(jnp.bfloat16) if dt == jnp.bfloat16 else jnp.dtype(jnp.float32)
     # u8 -> u8 plain-PIL calls promote to the bit-exact int8 digit kernel
@@ -123,7 +123,7 @@ def kernel_report(
             ) or pil_exact_streamed_supported(in_shape, oh, ow, m)
         except Exception:
             pil_int8 = False
-    float_fused_gate = dt == jnp.uint8 or H * W >= (1 << 21)
+    float_fused_gate = True  # 'auto' always prefers the fused pipelines
     try:
         onek = (
             not pil_int8
