@@ -30,9 +30,7 @@ Run: python benchmarks/roofline.py [--iters-hi 50] [--no-trace]
 from __future__ import annotations
 
 import argparse
-import glob
 import json
-import shutil
 import time
 
 import numpy as np
@@ -79,15 +77,21 @@ def _loop_builder(step, init):
     return g
 
 
-def _device_ms_per_iter(step, init, iters: int, trace_dir: str) -> float | None:
+def _device_ms_per_iter(step, init, iters: int) -> float | None:
     """Profiler cross-check: run the iters-loop once under jax.profiler.trace
     and return the /device:TPU duration of the loop executable / iters (ms).
 
-    Returns None when the runtime does not expose the profiler or the
-    xplane tooling is unavailable (CPU CI) — callers report null.
+    Trace capture + xplane parsing live in
+    utils.timing.device_seconds_from_trace (one home for the fragile
+    logic; per-call temp dirs avoid clobbering between concurrent runs).
+    Returns None when the profiler is unavailable (CPU CI).
     """
     import jax
     import jax.numpy as jnp
+
+    from interpolate_antialiasing_tpu.utils.timing import (
+        device_seconds_from_trace,
+    )
 
     @jax.jit
     def run(s):
@@ -97,36 +101,10 @@ def _device_ms_per_iter(step, init, iters: int, trace_dir: str) -> float | None:
 
     try:
         float(run(init))  # compile outside the trace
-        shutil.rmtree(trace_dir, ignore_errors=True)
-        with jax.profiler.trace(trace_dir):
-            float(run(init))
-        paths = glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True)
-        if not paths:
-            return None
-        from xprof.convert import raw_to_tool_data
-
-        data, _ = raw_to_tool_data.xspace_to_tool_data(paths, "trace_viewer", {})
-        tr = json.loads(data)
-        device_pids = {
-            e["pid"]
-            for e in tr["traceEvents"]
-            if e.get("ph") == "M"
-            and e.get("name") == "process_name"
-            and "TPU" in e["args"].get("name", "")
-        }
-        # The jitted loop appears as one long executable event on the
-        # device timeline (name "jit_run(...)"); take the longest device
-        # event — nothing else in the trace window comes close.
-        durs = [
-            e.get("dur", 0.0)
-            for e in tr["traceEvents"]
-            if e.get("ph") == "X" and e.get("pid") in device_pids
-        ]
-        if not durs:
-            return None
-        return max(durs) / iters / 1e3  # us -> ms
     except Exception:
         return None
+    dev = device_seconds_from_trace(lambda: float(run(init)))
+    return dev * 1e3 / iters if dev else None
 
 
 def probe_matmul(n: int, dtype_name: str, precision, lo: int, hi: int):
@@ -207,7 +185,7 @@ def audit_headline(args, ceilings):
     )
     dev_ms = None
     if not args.no_trace:
-        dev_ms = _device_ms_per_iter(step, x, args.iters_hi, args.trace_dir)
+        dev_ms = _device_ms_per_iter(step, x, args.iters_hi)
 
     rep = kernel_report(x.shape, (oh, ow), "bilinear", jnp.uint8)
     lead = batch * 3
@@ -260,7 +238,6 @@ def main() -> None:
     p.add_argument("--matmul-n", type=int, default=4096)
     p.add_argument("--hbm-mb", type=int, default=256)
     p.add_argument("--no-trace", action="store_true", help="skip profiler probe")
-    p.add_argument("--trace-dir", default="/tmp/ia_tpu_roofline_trace")
     args = p.parse_args()
 
     import jax

@@ -82,13 +82,15 @@ def main():
             64 * 196 * 320,
         )
 
-    # 1b. 4K u8 -> HD: the streamed int8 digit route (bit-exact at 4K)
+    # 1b. 4K u8 -> HD: the streamed int8 digit route (bit-exact at 4K).
+    # out_pixels normalised by the 8 RGB FRAMES (not the 24 planes) so the
+    # out_Mpix_s column is directly comparable with the video-4k-bf16 row.
     x4k = jnp.asarray(rng.integers(0, 256, (24, 2160, 3840), dtype=np.uint8))
     report(
         "video-4k-u8-b8[auto=pil-int8-streamed]",
         lambda t: ia.resize(t, (1080, 1920)),
         x4k,
-        24 * 1080 * 1920,
+        8 * 1080 * 1920,
     )
     del x4k
 

@@ -117,8 +117,11 @@ def crop_and_resize(
     # passes (weights split hi+lo, pixel side exact; same split the fast
     # resize path uses) instead of three HIGHEST passes — ~1.5x on 4K
     # inputs, with the dropped lo*lo term ~2^-16 relative (below the uint8
-    # rounding gate).  Float inputs keep full HIGHEST precision.
-    split = in_dtype == jnp.uint8
+    # rounding gate).  Float inputs keep full HIGHEST precision.  TPU
+    # only: off-MXU the split doubles the matmul work for nothing.
+    from .resize import _on_tpu
+
+    split = in_dtype == jnp.uint8 and _on_tpu()
 
     def one(img, box):
         y0, x0, y1, x1 = box[0] * H, box[1] * W, box[2] * H, box[3] * W

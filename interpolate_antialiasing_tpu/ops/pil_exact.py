@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .weights import dense_matrix, make_axis_spec
+from .weights import _round_up, dense_matrix, make_axis_spec
 
 __all__ = ["resize_pil_exact", "PRECISION_BITS"]
 
@@ -256,9 +256,7 @@ def _kernel_2pass_pil(
 
 
 def _pil_vmem_bytes(H, W, OH, OW, btw, bth, bsz) -> int:
-    def up(a, m):
-        return -(-a // m) * m
-
+    up = _round_up
     band = 3 * (btw.n_tiles * btw.k_in + bth.n_tiles * bth.k_in) * 128
     per_img = (
         up(H, 32) * up(W, 128) * 2  # u8 in, double buffered
@@ -351,10 +349,6 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
 # ---------------------------------------------------------------------------
 
 
-def _round_up(a: int, m: int) -> int:
-    return -(-a // m) * m
-
-
 def _pil_streamed_vmem(W, OW, btw, bth) -> int:
     k_rows = bth.k_in
     Wp, OWp = _round_up(W, 128), btw.out_padded
@@ -364,6 +358,31 @@ def _pil_streamed_vmem(W, OW, btw, bth) -> int:
         + (btw.n_tiles * btw.k_in + bth.n_tiles * k_rows) * 3 * 128  # bands
         + 2 * 128 * OW  # u8 out blocks
     )
+
+
+_PIL_AUTO_METHODS = ("bilinear", "bicubic", "box", "nearest", "lanczos3",
+                     "hamming")
+
+
+def pil_auto_promotable(shape, oh, ow, method: str, antialias: bool = True
+                        ) -> bool:
+    """Whether a plain-PIL-semantics resize of ``shape`` can run the
+    bit-exact digit kernels (whole-image or streamed).
+
+    The SINGLE source of truth for the ``backend="auto"`` u8->u8 promotion
+    eligibility — ops/resize.py's dispatcher and utils/inspect.py's
+    kernel_report both call this, so the reported route cannot drift from
+    the dispatch (a round-2 advisor finding against hand-duplicated
+    gates).  Callers still check dtype/layout/backend/align_corners/
+    scale_factors, which depend on call-site arguments this module does
+    not see.
+    """
+    if not antialias or method not in _PIL_AUTO_METHODS:
+        return False
+    m = "box" if method == "nearest" else method
+    return pil_exact_pallas_supported(
+        shape, oh, ow, m
+    ) or pil_exact_streamed_supported(shape, oh, ow, m)
 
 
 def pil_exact_streamed_supported(shape, oh, ow, method: str) -> bool:

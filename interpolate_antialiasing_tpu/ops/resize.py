@@ -381,18 +381,11 @@ def resize(
         in_dtype == jnp.uint8
         and jnp.dtype(out_dtype_resolved) == jnp.dtype(jnp.uint8)
         and backend_resolved == "auto"
-        and antialias
         and not align_corners
         and scale_factors is None
-        and method in ("bilinear", "bicubic", "box", "nearest", "lanczos3",
-                       "hamming")
         and _on_tpu()
     ):
-        from .pil_exact import (
-            pil_exact_pallas_supported,
-            pil_exact_streamed_supported,
-            resize_pil_exact,
-        )
+        from .pil_exact import pil_auto_promotable, resize_pil_exact
 
         pil_method = "box" if method == "nearest" else method
         trailing_hw = h_axis % x.ndim == x.ndim - 2 and w_axis % x.ndim == x.ndim - 1
@@ -406,9 +399,8 @@ def resize(
             if channels_last
             else x.shape
         )
-        if (trailing_hw or channels_last) and (
-            pil_exact_pallas_supported(shape_k, oh, ow, pil_method)
-            or pil_exact_streamed_supported(shape_k, oh, ow, pil_method)
+        if (trailing_hw or channels_last) and pil_auto_promotable(
+            shape_k, oh, ow, method, antialias
         ):
             if debug_enabled():
                 print("[ia-tpu] uint8 auto -> pil_exact int8 digit kernel")

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.weights import compute_tables, make_axis_spec
+from ..ops.weights import _round_up, compute_tables, make_axis_spec
 
 __all__ = ["halo_resize_h", "plan_halo", "plan_halo_banded", "resize_sharded"]
 
@@ -67,10 +67,6 @@ def plan_halo(in_size: int, out_size: int, mode: str, antialias: bool, n_shards:
                 Wl[d, o - d * ol, col] = w[o, j]
     Wl.setflags(write=False)  # cached: callers must not mutate
     return halo, Wl
-
-
-def _round_up(a: int, m: int) -> int:
-    return -(-a // m) * m
 
 
 @dataclasses.dataclass(frozen=True)
@@ -261,11 +257,28 @@ def _halo_local_h(xl, plan: HaloPlan, n: int, axis: str, h_axis: int,
     return jnp.moveaxis(y, -1, h_axis)
 
 
-def _use_pallas_default(cdtype, h_axis, ndim) -> bool:
+def _halo_pallas_supported(plan: HaloPlan, cdtype) -> bool:
+    """VMEM admission for the banded Pallas local pass (mirrors every other
+    *_supported gate): banded_pass_mid_dynamic floors its column tile at
+    128 lanes, so the per-step footprint is the full extended-local row
+    block x 128 lanes (double-buffered) plus the resident band."""
+    from ..ops.pallas_resize import _VMEM_BUDGET
+
+    in_pad = max(_round_up(plan.ext_pad, 8), plan.k_in)
+    band_bytes = plan.n_tiles * plan.k_in * 128 * 4
+    itemsize = jnp.dtype(cdtype).itemsize
+    return (
+        2 * in_pad * 128 * itemsize + band_bytes + 2 * 128 * 128 * 4
+        <= _VMEM_BUDGET
+    )
+
+
+def _use_pallas_default(cdtype, h_axis, ndim, plan: HaloPlan) -> bool:
     return (
         jax.default_backend() == "tpu"
         and cdtype in (jnp.float32, jnp.bfloat16)
         and h_axis < ndim - 1  # needs a trailing (lane) dim
+        and _halo_pallas_supported(plan, cdtype)
     )
 
 
@@ -296,7 +309,7 @@ def halo_resize_h(
     plan = plan_halo_banded(in_size, out_h, mode, antialias, n)
     cdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     if use_pallas is None:
-        use_pallas = _use_pallas_default(cdtype, h_axis, x.ndim)
+        use_pallas = _use_pallas_default(cdtype, h_axis, x.ndim, plan)
 
     xc = x.astype(cdtype)
     pad_rows = n * plan.hl - in_size
@@ -361,7 +374,7 @@ def resize_sharded(
     in_dtype = x.dtype
     cdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     if use_pallas is None:
-        use_pallas = _use_pallas_default(cdtype, h_axis, x.ndim)
+        use_pallas = _use_pallas_default(cdtype, h_axis, x.ndim, plan)
 
     xc = x.astype(cdtype)
     pad_rows = n * plan.hl - in_h

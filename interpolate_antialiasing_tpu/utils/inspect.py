@@ -108,19 +108,11 @@ def kernel_report(
     # u8 -> u8 plain-PIL calls promote to the bit-exact int8 digit kernel
     # first (resize.py's 'auto' gate, round 2b)
     pil_int8 = False
-    if dt == jnp.uint8 and antialias and mode in (
-        "bilinear", "bicubic", "box", "nearest", "lanczos3", "hamming"
-    ):
+    if dt == jnp.uint8:
         try:
-            from ..ops.pil_exact import (
-                pil_exact_pallas_supported,
-                pil_exact_streamed_supported,
-            )
+            from ..ops.pil_exact import pil_auto_promotable
 
-            m = "box" if mode == "nearest" else mode
-            pil_int8 = pil_exact_pallas_supported(
-                in_shape, oh, ow, m
-            ) or pil_exact_streamed_supported(in_shape, oh, ow, m)
+            pil_int8 = pil_auto_promotable(in_shape, oh, ow, mode, antialias)
         except Exception:
             pil_int8 = False
     float_fused_gate = True  # 'auto' always prefers the fused pipelines

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["time_jit_loop", "time_calls", "device_time_per_call", "BenchResult"]
+__all__ = ["time_jit_loop", "time_calls", "device_time_per_call",
+           "device_seconds_from_trace", "BenchResult"]
 
 
 class BenchResult(dict):
@@ -93,45 +94,27 @@ def time_calls(
     return BenchResult(seconds=float(np.median(times)), iters=iters, repeats=repeats)
 
 
-def device_time_per_call(
-    fn: Callable[[jax.Array], jax.Array],
-    x: jax.Array,
-    iters: int = 50,
-    trace_dir: str = "/tmp/ia_tpu_devtime_trace",
-):
-    """Seconds/call measured on the DEVICE timeline via jax.profiler.
+def device_seconds_from_trace(run_once: Callable[[], None]):
+    """Run ``run_once()`` under ``jax.profiler.trace`` in a FRESH temp dir
+    and return the longest ``/device:TPU`` event's duration in seconds —
+    by construction the traced jitted loop executable.
 
-    Runs the same value-dependent on-device loop as :func:`time_jit_loop`
-    once under ``jax.profiler.trace`` and returns the loop executable's
-    duration on the ``/device:TPU`` lane divided by ``iters`` — a number
-    that contains zero host/tunnel latency.  On tunnelled chips this is
-    the most trustworthy sustained figure: the two-point method can be
-    skewed by several 100% when the host-read latency or chip clock
-    wanders between the two measurement points (observed live: a
-    two-point read of 0.166 ms against a byte-stable profiler read of
-    0.446 ms).  Returns None when the runtime does not expose the
-    profiler or the xplane tooling is unavailable (e.g. CPU CI).
+    The single home for the fragile xplane-parsing logic (shared with
+    benchmarks/roofline.py).  A per-call ``tempfile.mkdtemp`` avoids the
+    clobber race two concurrent benchmark processes would have on a fixed
+    trace dir (one process's ``max(durs)`` could come from the other's
+    loop).  Returns None when the runtime does not expose the profiler or
+    the xplane tooling is unavailable (e.g. CPU CI).
     """
     import glob
     import json as _json
     import shutil
+    import tempfile
 
-    @jax.jit
-    def g(x):
-        def body(i, carry):
-            xc, acc = carry
-            y = fn(xc)
-            s = jnp.sum(y.astype(jnp.float32)) * jnp.float32(1e-30)
-            xc = xc.at[(0,) * xc.ndim].add(s.astype(xc.dtype))
-            return (xc, acc + s)
-
-        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))[1]
-
+    trace_dir = tempfile.mkdtemp(prefix="ia_tpu_trace_")
     try:
-        float(g(x))  # compile + warm outside the trace
-        shutil.rmtree(trace_dir, ignore_errors=True)
         with jax.profiler.trace(trace_dir):
-            float(g(x))
+            run_once()
         paths = glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True)
         if not paths:
             return None
@@ -152,6 +135,46 @@ def device_time_per_call(
             if e.get("ph") == "X" and e.get("pid") in device_pids
         ]
         # the loop executable is the longest device event by far
-        return (max(durs) / iters / 1e6) if durs else None
+        return (max(durs) / 1e6) if durs else None
     except Exception:
         return None
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
+
+
+def device_time_per_call(
+    fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    iters: int = 50,
+):
+    """Seconds/call measured on the DEVICE timeline via jax.profiler.
+
+    Runs the same value-dependent on-device loop as :func:`time_jit_loop`
+    once under ``jax.profiler.trace`` and returns the loop executable's
+    duration on the ``/device:TPU`` lane divided by ``iters`` — a number
+    that contains zero host/tunnel latency.  On tunnelled chips this is
+    the most trustworthy sustained figure: the two-point method can be
+    skewed by several 100% when the host-read latency or chip clock
+    wanders between the two measurement points (observed live: a
+    two-point read of 0.166 ms against a byte-stable profiler read of
+    0.446 ms).  Returns None when the runtime does not expose the
+    profiler or the xplane tooling is unavailable (e.g. CPU CI).
+    """
+
+    @jax.jit
+    def g(x):
+        def body(i, carry):
+            xc, acc = carry
+            y = fn(xc)
+            s = jnp.sum(y.astype(jnp.float32)) * jnp.float32(1e-30)
+            xc = xc.at[(0,) * xc.ndim].add(s.astype(xc.dtype))
+            return (xc, acc + s)
+
+        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))[1]
+
+    try:
+        float(g(x))  # compile + warm outside the trace
+    except Exception:
+        return None
+    dev = device_seconds_from_trace(lambda: float(g(x)))
+    return dev / iters if dev else None
