@@ -117,14 +117,18 @@ class ImageNetTrainPipeline:
         from ..ops.crop import random_resized_crop
 
         k_crop, k_flip = jax.random.split(key)
-        x = batch_u8.astype(jnp.float32)
+        # Keep uint8 through the crop: crop_and_resize's uint8 path runs
+        # the dominant contraction as split-bf16 with a quantised
+        # intermediate (2.5x the f32-HIGHEST route on-chip) and quantises
+        # back to u8 — the same thing torchvision's PIL-backend
+        # RandomResizedCrop produces. The flip then moves 1 byte/px.
         y = random_resized_crop(
-            k_crop, x, self.size, scale=self.scale, ratio=self.ratio,
+            k_crop, batch_u8, self.size, scale=self.scale, ratio=self.ratio,
             method=self.method,
         )
         flip = jax.random.bernoulli(k_flip, self.flip_prob, (y.shape[0],))
         y = jnp.where(flip[:, None, None, None], y[..., ::-1], y)
-        y = y * jnp.float32(1.0 / 255.0)
+        y = y.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
         mean = jnp.asarray(self.mean, jnp.float32).reshape(1, -1, 1, 1)
         std = jnp.asarray(self.std, jnp.float32).reshape(1, -1, 1, 1)
         return ((y - mean) / std).astype(self.dtype)

@@ -242,3 +242,29 @@ def test_streamed_digit_dispatch(rng, monkeypatch, capsys):
     im = Image.fromarray(np.repeat(x, 3, axis=0).transpose(1, 2, 0))
     ref = np.asarray(im.resize((ow, oh), Image.BILINEAR)).transpose(2, 0, 1)[:1]
     np.testing.assert_array_equal(y, ref)
+
+
+def test_digit_kernel_random_shape_fuzz(rng, monkeypatch):
+    """Random (H, W, oh, ow, mode) sweep through the PALLAS digit kernels
+    (whole-image and, via a shrunken budget, streamed) in interpret mode —
+    byte-equality with PIL on every draw.  Complements the fixed-case
+    tests; guards the window/chunk geometry against odd shapes."""
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+
+    monkeypatch.setattr(pe, "_use_tpu_kernels", lambda: True)
+    modes = ["bilinear", "bicubic", "box", "lanczos3", "hamming"]
+    for i in range(8):
+        H, W = int(rng.integers(8, 320)), int(rng.integers(8, 320))
+        oh, ow = int(rng.integers(4, 280)), int(rng.integers(4, 280))
+        mode = modes[i % len(modes)]
+        if i >= 6:  # force the streamed route on the last draws
+            monkeypatch.setattr(pe, "_PIL_VMEM_BUDGET", 256 * 1024)
+            if not pe.pil_exact_streamed_supported((1, H, W), oh, ow, mode):
+                continue
+        x = (rng.random((1, H, W)) * 255).astype(np.uint8)
+        y = np.asarray(pe.resize_pil_exact(jnp.asarray(x), (oh, ow),
+                                           method=mode))
+        im = PIL.fromarray(np.repeat(x, 3, axis=0).transpose(1, 2, 0))
+        ref = np.asarray(im.resize((ow, oh), PIL_MODES[mode]))
+        ref = ref.transpose(2, 0, 1)[:1]
+        np.testing.assert_array_equal(y, ref, err_msg=f"{(H,W,oh,ow,mode,i)}")
