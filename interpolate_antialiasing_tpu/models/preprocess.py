@@ -48,20 +48,37 @@ class ImageNetEvalPipeline:
     mean: Sequence[float] = _IMAGENET_MEAN
     std: Sequence[float] = _IMAGENET_STD
     resize_domain: str = "uint8"
+    # canonical torchvision eval is Resize(short_side) + CenterCrop(size);
+    # set short_side=256 for that. None resizes directly to ``size``
+    # (torchvision Resize((h, w))). Input shapes are static under jit, so
+    # the aspect-preserving intermediate shape is static too.
+    short_side: int | None = None
+
+    def _resize(self, x, hw):
+        if self.resize_domain == "uint8" and x.dtype == jnp.uint8:
+            return resize(x, hw, method=self.method, antialias=self.antialias)
+        return resize_plane(
+            x.astype(jnp.float32), hw, h_axis=-2, w_axis=-1,
+            mode=self.method, antialias=self.antialias,
+        )
 
     def __call__(self, batch_u8: jax.Array) -> jax.Array:
-        if self.resize_domain == "uint8" and batch_u8.dtype == jnp.uint8:
-            y = resize(
-                batch_u8, self.size, method=self.method,
-                antialias=self.antialias,
-            ).astype(jnp.float32)
+        if self.short_side is not None:
+            H, W = batch_u8.shape[-2], batch_u8.shape[-1]
+            s = self.short_side
+            # torchvision Resize(int): short side -> s, long side rounded
+            if H <= W:
+                rh, rw = s, max(1, round(s * W / H))
+            else:
+                rh, rw = max(1, round(s * H / W)), s
+            y = self._resize(batch_u8, (rh, rw))
+            oh, ow = self.size
+            top = (rh - oh) // 2  # CenterCrop's floor((in - out)/2)
+            left = (rw - ow) // 2
+            y = y[..., top : top + oh, left : left + ow]
         else:
-            x = batch_u8.astype(jnp.float32)
-            y = resize_plane(
-                x, self.size, h_axis=-2, w_axis=-1, mode=self.method,
-                antialias=self.antialias,
-            )
-        y = y * jnp.float32(1.0 / 255.0)
+            y = self._resize(batch_u8, self.size)
+        y = y.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
         mean = jnp.asarray(self.mean, jnp.float32).reshape(1, -1, 1, 1)
         std = jnp.asarray(self.std, jnp.float32).reshape(1, -1, 1, 1)
         return ((y - mean) / std).astype(self.dtype)

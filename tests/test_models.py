@@ -140,3 +140,36 @@ def test_imagenet_pipeline_matches_torchvision_pil(rng, monkeypatch):
     std = np.asarray(_IMAGENET_STD, np.float32).reshape(1, 3, 1, 1)
     ref = (ref - mean) / std
     np.testing.assert_allclose(y, ref, atol=1e-6)
+
+
+def test_imagenet_pipeline_short_side_center_crop(rng, monkeypatch):
+    """short_side=256 reproduces the CANONICAL torchvision eval transform
+    (Resize(256) + CenterCrop(224) + ToTensor + Normalize) byte-for-byte
+    pre-normalisation, with the bit-exact kernel route forced as on TPU."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.models.preprocess import (
+        _IMAGENET_MEAN,
+        _IMAGENET_STD,
+    )
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+    from interpolate_antialiasing_tpu.ops import resize as resize_mod
+
+    monkeypatch.setattr(resize_mod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(pe, "_use_tpu_kernels", lambda: True)
+    x = (rng.random((2, 3, 300, 420)) * 255).astype(np.uint8)
+    pipe = ImageNetEvalPipeline(size=(224, 224), short_side=256)
+    y = np.asarray(pipe(jnp.asarray(x)))
+    refs = []
+    for img in x:
+        im = Image.fromarray(img.transpose(1, 2, 0))
+        # torchvision Resize(256): short side -> 256, aspect preserved
+        rh, rw = 256, round(256 * 420 / 300)
+        im = im.resize((rw, rh), Image.BILINEAR)
+        top, left = (rh - 224) // 2, (rw - 224) // 2
+        im = im.crop((left, top, left + 224, top + 224))
+        refs.append(np.asarray(im).transpose(2, 0, 1))
+    ref = np.stack(refs).astype(np.float32) / 255.0
+    mean = np.asarray(_IMAGENET_MEAN, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(_IMAGENET_STD, np.float32).reshape(1, 3, 1, 1)
+    np.testing.assert_allclose(y, (ref - mean) / std, atol=1e-6)
