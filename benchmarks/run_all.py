@@ -27,6 +27,14 @@ def main():
         "(same methodology as bench.py; produces the docs/BENCHMARKS.md "
         "'sustained device rates' table)",
     )
+    ap.add_argument(
+        "--device",
+        action="store_true",
+        help="profiler device-timeline method (utils.timing."
+        "device_time_per_call): zero host/tunnel latency per row; the "
+        "most trustworthy numbers on the tunnelled chip (two-point can "
+        "be jitter-corrupted)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -37,14 +45,29 @@ def main():
         ImageNetEvalPipeline,
         VideoDownscaler,
     )
-    from interpolate_antialiasing_tpu.utils.timing import time_jit_loop
+    from interpolate_antialiasing_tpu.utils.timing import (
+        device_time_per_call,
+        time_jit_loop,
+    )
 
     iters = 5 if args.quick else 10
     rng = np.random.default_rng(0)
 
     def report(name, fn, x, out_pixels):
         try:
-            if args.sustained:
+            if args.device:
+                sec = device_time_per_call(fn, x, iters=30)
+                if sec is None:
+                    print(json.dumps({"config": name,
+                                      "error": "profiler unavailable"}),
+                          flush=True)
+                    return
+                row = {
+                    "config": name,
+                    "ms_device": round(sec * 1e3, 3),
+                    "out_Mpix_s": round(out_pixels / sec / 1e6, 1),
+                }
+            elif args.sustained:
                 lo, hi = (5, 20) if args.quick else (10, 50)
                 r_lo = time_jit_loop(fn, x, iters=lo, repeats=5)
                 r_hi = time_jit_loop(fn, x, iters=hi, repeats=5)
