@@ -157,6 +157,29 @@ def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1):
     return base, bands, ct.astype(np.int32)
 
 
+@cache
+def _needs_clip(in_size: int, out_size: int, mode: str) -> bool:
+    """Whether the clip in Pillow's clip8 can actually fire for this axis.
+
+    For a NON-NEGATIVE coefficient row (bilinear/box/hamming — checked on
+    the actual matrix, not a mode list) the accumulator is provably in
+    range: ``acc = sum K*x + 2^21`` with ``x in [0,255]`` gives
+    ``0 < acc <= 255*colsum + 2^21``, and per-coefficient rounding bounds
+    ``colsum <= 2^22 + ntaps/2``, so ``acc >> 22 in [0, 255]`` always
+    (``255*ntaps/2 + 2^21 < 2^22`` for any real ntaps).  Dropping the two
+    clamp ops then changes nothing byte-wise but trims the VPU recombine
+    epilogue — the measured bottleneck of the digit kernels.  Negative
+    lobes (bicubic/lanczos) genuinely overshoot: keep the clip.
+    """
+    K = _int_matrix(in_size, out_size, mode)
+    if K.min() < 0:
+        return True
+    assert K.astype(np.int64).sum(axis=1).max() <= (1 << PRECISION_BITS) + (
+        1 << 12
+    ), "colsum slack assumption violated"
+    return False
+
+
 def _use_tpu_kernels() -> bool:
     """Route gate for the digit kernels (separate from the pallas
     ``interpret`` flag so tests can exercise the routing on CPU)."""
@@ -185,7 +208,7 @@ def _pass_last_int(x_u8: jax.Array, M: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _fixup_int(S0, S1, S2, ct):
+def _fixup_int(S0, S1, S2, ct, clip=True):
     """Recombine int32 digit sums into Pillow's accumulator and clip:
     ``clip8((S2<<16) + (S1<<8) + S0 + ct)`` where ``ct`` carries both the
     signed-pixel bias and Pillow's rounding constant (see _digit_tiles).
@@ -198,12 +221,15 @@ def _fixup_int(S0, S1, S2, ct):
         + ct
     )
     v = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
+    if not clip:
+        return v  # provably in [0, 255]: see _needs_clip
     return jnp.clip(v, jnp.int32(0), jnp.int32(255))
 
 
 def _kernel_2pass_pil(
     x_ref, bandw_ref, bandh_ref, ctw_ref, cth_ref, o_ref, scratch,
     *, bsz, OH, OW, starts_w, k_in_w, starts_h, k_in_h,
+    clip_w=True, clip_h=True,
 ):
     """Both Pillow fixed-point passes (uint8 intermediate included) in one
     kernel: per axis, 3 native int8 MXU digit matmuls (signed pixels
@@ -236,9 +262,9 @@ def _kernel_2pass_pil(
                 + ct1[None, :]
             )
             v = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
-            scratch[bi, :, t * 128 : (t + 1) * 128] = jnp.clip(
-                v, jnp.int32(-128), jnp.int32(127)
-            ).astype(jnp.int8)
+            if clip_w:
+                v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
+            scratch[bi, :, t * 128 : (t + 1) * 128] = v.astype(jnp.int8)
         # pass 2 (H) on the quantised intermediate -> u8 output rows
         for t, s in enumerate(starts_h):
             win = scratch[bi, s : s + k_in_h, :]
@@ -247,7 +273,8 @@ def _kernel_2pass_pil(
                 preferred_element_type=jnp.int32,
             )  # [3*128, OWp]: digit sums stacked along rows
             u8v = _fixup_int(
-                S[:128], S[128:256], S[256:], cth_ref[t][:, None]
+                S[:128], S[128:256], S[256:], cth_ref[t][:, None],
+                clip=clip_h,
             )
             rows = min(128, OH - t * 128)
             o_ref[bi, t * 128 : t * 128 + rows, :OW] = (
@@ -311,6 +338,8 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
         k_in_w=btw.k_in,
         starts_h=tuple(int(s) for s in bth.starts),
         k_in_h=bth.k_in,
+        clip_w=_needs_clip(W, ow, method),
+        clip_h=_needs_clip(H, oh, method),
     )
     return pl.pallas_call(
         kern,
@@ -401,6 +430,7 @@ def pil_exact_streamed_supported(shape, oh, ow, method: str) -> bool:
 def _kernel_2pass_pil_streamed(
     starts_ref, x_hbm, bandw_ref, bandh_ref, ctw_ref, cth_ref, o_ref,
     win, inter, sem, *, k_rows, OW, starts_w, k_in_w,
+    clip_w=True, clip_h=True,
 ):
     """One output-row tile per step: DMA the halo'd uint8 row window, run
     both Pillow fixed-point passes on it with int8 digit matmuls (cf.
@@ -450,15 +480,16 @@ def _kernel_2pass_pil_streamed(
             + ct1[None, :]
         )
         v = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
-        inter[:, wt * 128 : (wt + 1) * 128] = jnp.clip(
-            v, jnp.int32(-128), jnp.int32(127)
-        ).astype(jnp.int8)
+        if clip_w:
+            v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
+        inter[:, wt * 128 : (wt + 1) * 128] = v.astype(jnp.int8)
     # pass 2 (H): this tile's digit band against the window rows
     S = jax.lax.dot_general(
         bandh_ref[t], inter[...], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [3*128, OWp]
-    u8v = _fixup_int(S[:128], S[128:256], S[256:], cth_ref[t][:, None])
+    u8v = _fixup_int(S[:128], S[128:256], S[256:], cth_ref[t][:, None],
+                     clip=clip_h)
     o_ref[0, :, :] = u8v[:, :OW].astype(jnp.uint8)
 
 
@@ -484,6 +515,8 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
         OW=ow,
         starts_w=tuple(int(s) for s in btw.starts),
         k_in_w=btw.k_in,
+        clip_w=_needs_clip(W, ow, method),
+        clip_h=_needs_clip(H, oh, method),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
