@@ -378,15 +378,37 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
 # ---------------------------------------------------------------------------
 
 
-def _pil_streamed_vmem(W, OW, btw, bth) -> int:
+def _pil_streamed_vmem(ccols, tiles_per_chunk, btw, bth) -> int:
     k_rows = bth.k_in
-    Wp, OWp = _round_up(W, 128), btw.out_padded
     return (
-        2 * k_rows * Wp  # u8 window, double buffered
-        + k_rows * OWp  # int8 intermediate
-        + (btw.n_tiles * btw.k_in + bth.n_tiles * k_rows) * 3 * 128  # bands
-        + 2 * 128 * OW  # u8 out blocks
+        2 * k_rows * ccols  # u8 window, double buffered
+        + k_rows * tiles_per_chunk * 128  # int8 intermediate
+        # W band streams per chunk (double-buffered blocks); H band resident
+        + 2 * tiles_per_chunk * btw.k_in * 3 * 128
+        + bth.n_tiles * k_rows * 3 * 128
+        + (2 * tiles_per_chunk + bth.n_tiles) * 128 * 4  # bias constants
+        + 2 * 128 * tiles_per_chunk * 128  # u8 out blocks
     )
+
+
+def _pil_stream_plan(W, btw, bth):
+    """Largest-chunk column plan that fits the VMEM budget, or None —
+    the digit twin of pallas_resize._stream_plan (same chunk geometry:
+    consecutive W tiles share one 128-aligned DMA'd column window)."""
+    from .pallas_resize import _stream_chunk_plan
+
+    Wp = _round_up(W, 128)
+    # Mosaic's scoped-VMEM accounting runs ~40% above this static model on
+    # chunked cases (observed on-chip: 16.9M actual vs ~11M estimated at a
+    # 24576-wide 8x shrink), so plan against a 2/3 budget for headroom.
+    budget = _PIL_VMEM_BUDGET * 2 // 3
+    for ct in range(btw.n_tiles, 0, -1):
+        plan = _stream_chunk_plan(btw, Wp, ct)
+        if _pil_streamed_vmem(plan.ccols, plan.tiles_per_chunk, btw, bth) <= (
+            budget
+        ):
+            return plan
+    return None
 
 
 _PIL_AUTO_METHODS = ("bilinear", "bicubic", "box", "nearest", "lanczos3",
@@ -424,73 +446,95 @@ def pil_exact_streamed_supported(shape, oh, ow, method: str) -> bool:
         return False
     if btw.n_tiles > _PIL_MAX_TILES:
         return False
-    return _pil_streamed_vmem(W, ow, btw, bth) <= _PIL_VMEM_BUDGET
+    return _pil_stream_plan(W, btw, bth) is not None
 
 
 def _kernel_2pass_pil_streamed(
-    starts_ref, x_hbm, bandw_ref, bandh_ref, ctw_ref, cth_ref, o_ref,
-    win, inter, sem, *, k_rows, OW, starts_w, k_in_w,
+    starts_ref, cstarts_ref, x_hbm, bandw_ref, bandh_ref, ctw_ref, cth_ref,
+    o_ref, win, inter, sem, *, k_rows, chunks, k_in_w,
     clip_w=True, clip_h=True,
 ):
-    """One output-row tile per step: DMA the halo'd uint8 row window, run
-    both Pillow fixed-point passes on it with int8 digit matmuls (cf.
-    _kernel_2pass_pil), store 128 exact uint8 output rows."""
+    """One (output-row tile, column chunk) per step: DMA the halo'd uint8
+    row-and-column window, run both Pillow fixed-point passes on it with
+    int8 digit matmuls (cf. _kernel_2pass_pil), store the chunk's exact
+    uint8 output block.  A single whole-row chunk is the common case;
+    very wide images split the W pass across column chunks exactly like
+    pallas_resize._kernel_2pass_streamed."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b = pl.program_id(0)
     t = pl.program_id(1)
+    c = pl.program_id(2)
     B = jnp.int32(pl.num_programs(0))
     T = jnp.int32(pl.num_programs(1))
-    step = b * T + t
+    C = jnp.int32(pl.num_programs(2))
+    step = (b * T + t) * C + c
 
-    def dma(slot, b_i, t_i):
+    def dma(slot, b_i, t_i, c_i):
         return pltpu.make_async_copy(
-            x_hbm.at[b_i, pl.ds(pl.multiple_of(starts_ref[t_i], 8), k_rows), :],
+            x_hbm.at[
+                b_i,
+                pl.ds(pl.multiple_of(starts_ref[t_i], 8), k_rows),
+                pl.ds(pl.multiple_of(cstarts_ref[c_i], 128), win.shape[2]),
+            ],
             win.at[slot],
             sem.at[slot],
         )
 
     @pl.when(step == 0)
     def _():
-        dma(0, b, t).start()
+        dma(0, b, t, c).start()
 
-    nb = b + (t + jnp.int32(1)) // T
-    nt = jax.lax.rem(t + jnp.int32(1), T)
+    nc = jax.lax.rem(c + jnp.int32(1), C)
+    tc = t + (c + jnp.int32(1)) // C
+    nt = jax.lax.rem(tc, T)
+    nb = b + tc // T
 
-    @pl.when(step + 1 < B * T)
+    @pl.when(step + 1 < B * T * C)
     def _():
-        dma(jax.lax.rem(step + jnp.int32(1), jnp.int32(2)), nb, nt).start()
+        dma(jax.lax.rem(step + jnp.int32(1), jnp.int32(2)), nb, nt, nc).start()
 
     slot = jax.lax.rem(step, jnp.int32(2))
-    dma(slot, b, t).wait()
+    dma(slot, b, t, c).wait()
 
     xs = jax.lax.bitcast_convert_type(win[slot] ^ jnp.uint8(128), jnp.int8)
-    # pass 1 (W) over the window rows -> signed u8-grid intermediate
-    for wt, s in enumerate(starts_w):
-        S = jax.lax.dot_general(
-            xs[:, s : s + k_in_w], bandw_ref[wt], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        ct1 = ctw_ref[wt] - jnp.int32(128 << PRECISION_BITS)
-        acc = (
-            jax.lax.shift_left(S[:, 256:], jnp.int32(16))
-            + jax.lax.shift_left(S[:, 128:256], jnp.int32(8))
-            + S[:, :128]
-            + ct1[None, :]
-        )
-        v = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
-        if clip_w:
-            v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
-        inter[:, wt * 128 : (wt + 1) * 128] = v.astype(jnp.int8)
-    # pass 2 (H): this tile's digit band against the window rows
-    S = jax.lax.dot_general(
-        bandh_ref[t], inter[...], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # [3*128, OWp]
-    u8v = _fixup_int(S[:128], S[128:256], S[256:], cth_ref[t][:, None],
-                     clip=clip_h)
-    o_ref[0, :, :] = u8v[:, :OW].astype(jnp.uint8)
+    for ci, tiles in enumerate(chunks):
+
+        @pl.when(c == ci)
+        def _(tiles=tiles):
+            # pass 1 (W) for this chunk's tiles -> signed u8-grid inter
+            for j, (wt, off) in enumerate(tiles):
+                # bandw_ref/ctw_ref hold only this chunk's tiles (the
+                # BlockSpec streams chunk c's band slice into VMEM), so
+                # they are indexed by the LOCAL tile position j.
+                S = jax.lax.dot_general(
+                    xs[:, off : off + k_in_w], bandw_ref[j],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                ct1 = ctw_ref[wt] - jnp.int32(128 << PRECISION_BITS)
+                acc = (
+                    jax.lax.shift_left(S[:, 256:], jnp.int32(16))
+                    + jax.lax.shift_left(S[:, 128:256], jnp.int32(8))
+                    + S[:, :128]
+                    + ct1[None, :]
+                )
+                v = jax.lax.shift_right_arithmetic(
+                    acc, jnp.int32(PRECISION_BITS)
+                )
+                if clip_w:
+                    v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
+                inter[:, j * 128 : (j + 1) * 128] = v.astype(jnp.int8)
+            # pass 2 (H): this tile's digit band against the window rows
+            wci = len(tiles) * 128
+            S = jax.lax.dot_general(
+                bandh_ref[t], inter[:, :wci], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [3*128, wci]
+            u8v = _fixup_int(S[:128], S[128:256], S[256:],
+                             cth_ref[t][:, None], clip=clip_h)
+            o_ref[0, :, :wci] = u8v.astype(jnp.uint8)
 
 
 def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
@@ -509,54 +553,73 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
         # zero pad rows/cols carry zero digit weight -> bit-identical
         x3 = jnp.pad(x3, ((0, 0), (0, Hp - H), (0, Wp - W)))
     T = bth.n_tiles
+    plan = _pil_stream_plan(W, btw, bth)
+    if plan is None:
+        raise ValueError(
+            "pil_exact streamed: no column-chunk plan fits VMEM "
+            f"(W={W}, k_rows={bth.k_in})"
+        )
+    C, CT = plan.n_chunks, plan.tiles_per_chunk
+    if C * CT > btw.n_tiles:  # pad the band array to whole chunks
+        padt = C * CT - btw.n_tiles
+        bandsw = np.concatenate(
+            [bandsw, np.zeros((padt, btw.k_in, 3 * 128), np.int8)])
     kern = _partial(
         _kernel_2pass_pil_streamed,
         k_rows=bth.k_in,
-        OW=ow,
-        starts_w=tuple(int(s) for s in btw.starts),
+        chunks=plan.chunks,
         k_in_w=btw.k_in,
         clip_w=_needs_clip(W, ow, method),
         clip_h=_needs_clip(H, oh, method),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, T),
+        num_scalar_prefetch=2,
+        grid=(B, T, C),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-            pl.BlockSpec((btw.n_tiles, btw.k_in, 3 * 128),
-                         lambda b, t, starts: (0, 0, 0),
+            pl.BlockSpec((CT, btw.k_in, 3 * 128),
+                         lambda b, t, c, starts, cstarts: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bth.n_tiles, bth.k_in, 3 * 128),
-                         lambda b, t, starts: (0, 0, 0),
+                         lambda b, t, c, starts, cstarts: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((btw.n_tiles, 128), lambda b, t, starts: (0, 0),
+            # bias constants are tiny (n_tiles x 128 int32): fully
+            # resident — a CT-sized block would violate Mosaic's
+            # (8, 128)-divisible block rule
+            pl.BlockSpec((btw.n_tiles, 128),
+                         lambda b, t, c, starts, cstarts: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bth.n_tiles, 128), lambda b, t, starts: (0, 0),
+            pl.BlockSpec((bth.n_tiles, 128),
+                         lambda b, t, c, starts, cstarts: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 128, ow), lambda b, t, starts: (b, t, 0),
+            (1, 128, CT * 128),
+            lambda b, t, c, starts, cstarts: (b, t, c),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, bth.k_in, Wp), jnp.uint8),
-            pltpu.VMEM((bth.k_in, btw.out_padded), jnp.int8),
+            pltpu.VMEM((2, bth.k_in, plan.ccols), jnp.uint8),
+            pltpu.VMEM((bth.k_in, CT * 128), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     y = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, bth.out_padded, ow), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, bth.out_padded, C * CT * 128), jnp.uint8
+        ),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * B * T * bth.k_in * (btw.k_in + 128) * btw.out_padded,
-            bytes_accessed=B * T * bth.k_in * Wp + B * oh * ow,
+            bytes_accessed=B * T * C * bth.k_in * plan.ccols + B * oh * ow,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray(bth.starts, dtype=jnp.int32), x3, jnp.asarray(bandsw),
+    )(jnp.asarray(bth.starts, dtype=jnp.int32),
+      jnp.asarray(plan.col_starts, dtype=jnp.int32), x3, jnp.asarray(bandsw),
       jnp.asarray(bandsh), jnp.asarray(ctw), jnp.asarray(cth))
-    return y[:, :oh, :]
+    return y[:, :oh, :ow]
 
 
 def resize_pil_exact(

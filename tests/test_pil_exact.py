@@ -268,3 +268,24 @@ def test_digit_kernel_random_shape_fuzz(rng, monkeypatch):
         ref = np.asarray(im.resize((ow, oh), PIL_MODES[mode]))
         ref = ref.transpose(2, 0, 1)[:1]
         np.testing.assert_array_equal(y, ref, err_msg=f"{(H,W,oh,ow,mode,i)}")
+
+
+def test_streamed_digit_column_chunking_bit_exact(rng, monkeypatch):
+    """Round 2b: very wide uint8 rows column-chunk the streamed digit
+    kernel's W pass (shrunken budget forces n_chunks > 1 on CI shapes);
+    output stays byte-identical to PIL."""
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+
+    monkeypatch.setattr(pe, "_PIL_VMEM_BUDGET", 1664 * 1024)
+    H, W, oh, ow = 700, 1800, 350, 900
+    btw, _, _ = pe._digit_tiles(W, ow, "bilinear")
+    bth, _, _ = pe._digit_tiles(H, oh, "bilinear", align=8)
+    plan = pe._pil_stream_plan(W, btw, bth)
+    assert plan is not None and plan.n_chunks > 1, plan
+    assert not pe.pil_exact_pallas_supported((1, H, W), oh, ow, "bilinear")
+    x = (rng.random((1, H, W)) * 255).astype(np.uint8)
+    y = np.asarray(pe._resize_pil_exact_streamed(jnp.asarray(x), oh, ow,
+                                                 "bilinear"))
+    im = PIL.fromarray(np.repeat(x, 3, axis=0).transpose(1, 2, 0))
+    ref = np.asarray(im.resize((ow, oh), PIL.BILINEAR)).transpose(2, 0, 1)[:1]
+    np.testing.assert_array_equal(y, ref)
