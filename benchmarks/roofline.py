@@ -231,6 +231,62 @@ def audit_headline(args, ceilings):
     }
 
 
+def audit_4k_streamed(args, ceilings):
+    """Second audited workload: 4K u8 -> HD through the streamed int8
+    digit route (the `auto` promotion for frames too large for whole-image
+    VMEM blocks) — ties docs/BENCHMARKS.md's 4K claim to the machine model
+    the same way the headline is tied."""
+    import jax.numpy as jnp
+
+    import interpolate_antialiasing_tpu as ia
+    from interpolate_antialiasing_tpu.utils.inspect import kernel_report
+
+    planes, oh, ow = 24, 1080, 1920
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.integers(0, 256, (planes, 2160, 3840), dtype=np.uint8)
+    )
+
+    def step(x):
+        y = ia.resize(x, (oh, ow), method="bilinear")
+        s = (jnp.sum(y.astype(jnp.float32)) * jnp.float32(1e-30)).astype(x.dtype)
+        return x.at[(0,) * x.ndim].add(s)
+
+    sus_s, raw_s = _sustained_seconds(
+        _loop_builder(step, x), args.iters_lo, min(args.iters_hi, 30)
+    )
+    dev_ms = None
+    if not args.no_trace:
+        dev_ms = _device_ms_per_iter(step, x, min(args.iters_hi, 30))
+
+    rep = kernel_report(x.shape, (oh, ow), "bilinear", jnp.uint8)
+    # 3 int8 digit passes per axis; the streamed kernel re-reads the halo
+    # overlap between row windows (~interp_size/128-out-rows, a few %) —
+    # not modelled, so the achieved fraction is a slight overestimate.
+    macs = sum(a["mmacs"] * 1e6 * 3 for a in rep.axes) * planes
+    hbm_bytes = rep.hbm_mbytes * 1e6
+    t = dev_ms / 1e3 if dev_ms else sus_s
+    tmacs = macs / t / 1e12
+    gbps = hbm_bytes / t / 1e9
+    return {
+        "workload": "video-4k-u8-24planes 3840x2160->1920x1080",
+        "route": rep.route,
+        "sustained_ms_per_batch": round(sus_s * 1e3, 3),
+        "profiler_device_ms_per_batch": round(dev_ms, 3) if dev_ms else None,
+        "executed_GMACs_per_batch": round(macs / 1e9, 3),
+        "achieved_TMACs_per_s": round(tmacs, 2),
+        "mxu_ceiling": "int8",
+        "pct_of_int8_matmul_ceiling": round(
+            100 * tmacs / (ceilings["matmul_int8_tops"] / 2.0), 1
+        ),
+        "hbm_GB_per_batch": round(hbm_bytes / 1e9, 4),
+        "achieved_hbm_GBps": round(gbps, 1),
+        "pct_of_stream_ceiling": round(
+            100 * gbps / ceilings["hbm_stream_GBps"], 1
+        ),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--iters-lo", type=int, default=10)
@@ -261,6 +317,7 @@ def main() -> None:
     }
     print(json.dumps({"probe": "ceilings", **ceilings}))
     print(json.dumps(audit_headline(args, ceilings)))
+    print(json.dumps(audit_4k_streamed(args, ceilings)))
 
 
 if __name__ == "__main__":
