@@ -289,3 +289,22 @@ def test_streamed_digit_column_chunking_bit_exact(rng, monkeypatch):
     im = PIL.fromarray(np.repeat(x, 3, axis=0).transpose(1, 2, 0))
     ref = np.asarray(im.resize((ow, oh), PIL.BILINEAR)).transpose(2, 0, 1)[:1]
     np.testing.assert_array_equal(y, ref)
+
+
+def test_needs_clip_classification():
+    """The clip-free epilogue proof: non-negative filters never clamp
+    (clip8 can't fire — see _needs_clip's range argument), negative-lobe
+    filters must keep it.  Pinned across down/up/mixed sizes so a future
+    filter addition can't silently skip a needed clamp."""
+    from interpolate_antialiasing_tpu.ops.pil_exact import _needs_clip
+
+    for insz, outsz in [(906, 320), (64, 130), (1200, 196), (10, 10)]:
+        for mode in ["bilinear", "box", "hamming"]:
+            assert not _needs_clip(insz, outsz, mode), (mode, insz, outsz)
+        for mode in ["bicubic", "lanczos3"]:
+            assert _needs_clip(insz, outsz, mode) or insz == outsz, (
+                mode, insz, outsz
+            )
+    # the check reads the actual matrix, so even a negative-lobe FILTER is
+    # clip-free on an identity resize (every row is one unit tap)
+    assert not _needs_clip(10, 10, "bicubic")
