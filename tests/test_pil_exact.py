@@ -308,3 +308,28 @@ def test_needs_clip_classification():
     # the check reads the actual matrix, so even a negative-lobe FILTER is
     # clip-free on an identity resize (every row is one unit tap)
     assert not _needs_clip(10, 10, "bicubic")
+
+
+def test_image_resize_trailing_plane_promotes(rng, monkeypatch):
+    """image_resize (the jax.image.resize drop-in) routes trailing-plane
+    changes through the full resize() dispatcher, so eligible uint8 calls
+    get the bit-exact digit route too."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+    from interpolate_antialiasing_tpu.ops import resize as resize_mod
+
+    monkeypatch.setattr(resize_mod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(pe, "_use_tpu_kernels", lambda: True)
+    x = (rng.random((3, 80, 100)) * 255).astype(np.uint8)
+    y = np.asarray(ia.image_resize(jnp.asarray(x), (3, 40, 50)))
+    ref = np.transpose(
+        np.asarray(Image.fromarray(x.transpose(1, 2, 0)).resize(
+            (50, 40), Image.BILINEAR)), (2, 0, 1))
+    np.testing.assert_array_equal(y, ref)
+    # single-trailing-axis change still goes through resize()
+    y2 = np.asarray(ia.image_resize(jnp.asarray(x), (3, 80, 50)))
+    ref2 = np.transpose(
+        np.asarray(Image.fromarray(x.transpose(1, 2, 0)).resize(
+            (50, 80), Image.BILINEAR)), (2, 0, 1))
+    np.testing.assert_array_equal(y2, ref2)
