@@ -260,6 +260,10 @@ def audit_4k_streamed(args, ceilings):
         dev_ms = _device_ms_per_iter(step, x, min(args.iters_hi, 30))
 
     rep = kernel_report(x.shape, (oh, ow), "bilinear", jnp.uint8)
+    if "pil_exact" not in rep.route:
+        return {"workload": "video-4k-u8-24planes", "route": rep.route,
+                "error": "expected the pil int8 route; MAC model not "
+                "applicable — update the audit if routing changed"}
     # 3 int8 digit passes per axis; the streamed kernel re-reads the halo
     # overlap between row windows (~interp_size/128-out-rows, a few %) —
     # not modelled, so the achieved fraction is a slight overestimate.

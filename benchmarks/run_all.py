@@ -36,6 +36,8 @@ def main():
         "be jitter-corrupted)",
     )
     args = ap.parse_args()
+    if args.device and args.sustained:
+        ap.error("--device and --sustained are mutually exclusive")
 
     import jax
     import jax.numpy as jnp
@@ -56,7 +58,7 @@ def main():
     def report(name, fn, x, out_pixels):
         try:
             if args.device:
-                sec = device_time_per_call(fn, x, iters=30)
+                sec = device_time_per_call(fn, x, iters=10 if args.quick else 30)
                 if sec is None:
                     print(json.dumps({"config": name,
                                       "error": "profiler unavailable"}),

@@ -66,15 +66,24 @@ class ImageNetEvalPipeline:
         if self.short_side is not None:
             H, W = batch_u8.shape[-2], batch_u8.shape[-1]
             s = self.short_side
-            # torchvision Resize(int): short side -> s, long side rounded
+            # torchvision Resize(int): short side -> s, long side TRUNCATED
+            # (_compute_resized_output_size uses int(size * long / short))
             if H <= W:
-                rh, rw = s, max(1, round(s * W / H))
+                rh, rw = s, max(1, int(s * W / H))
             else:
-                rh, rw = max(1, round(s * H / W)), s
-            y = self._resize(batch_u8, (rh, rw))
+                rh, rw = max(1, int(s * H / W)), s
             oh, ow = self.size
-            top = (rh - oh) // 2  # CenterCrop's floor((in - out)/2)
-            left = (rw - ow) // 2
+            if oh > rh or ow > rw:
+                raise ValueError(
+                    f"CenterCrop {self.size} exceeds the resized image "
+                    f"({rh}, {rw}); torchvision would zero-pad here — pick "
+                    "a smaller crop or larger short_side"
+                )
+            y = self._resize(batch_u8, (rh, rw))
+            # torchvision center_crop: int(round(d / 2.0)) — Python
+            # round-half-to-even, NOT floor
+            top = int(round((rh - oh) / 2.0))
+            left = int(round((rw - ow) / 2.0))
             y = y[..., top : top + oh, left : left + ow]
         else:
             y = self._resize(batch_u8, self.size)

@@ -122,6 +122,7 @@ def crop_and_resize(
     from .resize import _on_tpu
 
     split = in_dtype == jnp.uint8 and _on_tpu()
+    quant_inter = split and method in ("bilinear", "box", "nearest", "hamming")
 
     def one(img, box):
         y0, x0, y1, x1 = box[0] * H, box[1] * W, box[2] * H, box[3] * W
@@ -136,19 +137,28 @@ def crop_and_resize(
                            preferred_element_type=jnp.float32)
             t = t + jnp.einsum("oi,cij->coj", Wh_lo, ib,
                                preferred_element_type=jnp.float32)
-            # Quantise the intermediate to the u8 lattice (Pillow's own
-            # convention, cf. pallas_resize._quant_u8grid): integers
-            # 0..255 are bf16-exact, so the second contraction's pixel
-            # operand loses its lo term and runs as 2 bf16 passes instead
-            # of a HIGHEST f32 matmul — measured 1.3x on the b64 aug
-            # workload, within the same +-1 uint8 rounding gate.
-            tq = jnp.clip(jnp.floor(t + 0.5), 0.0, 255.0).astype(jnp.bfloat16)
-            Ww_hi = Ww.astype(jnp.bfloat16)
-            Ww_lo = (Ww - Ww_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            y = jnp.einsum("uj,coj->cou", Ww_hi, tq,
-                           preferred_element_type=jnp.float32)
-            return y + jnp.einsum("uj,coj->cou", Ww_lo, tq,
-                                  preferred_element_type=jnp.float32)
+            if quant_inter:
+                # Quantise the intermediate to the u8 lattice (Pillow's
+                # own convention, cf. pallas_resize._quant_u8grid):
+                # integers 0..255 are bf16-exact, so the second
+                # contraction's pixel operand loses its lo term and runs
+                # as 2 bf16 passes instead of a HIGHEST f32 matmul —
+                # measured 2.5x on the b64 crop workload.  NON-NEGATIVE
+                # filters only: a negative-lobe pass-2 row has
+                # sum|w| ~ 1.8, which could amplify the 0.5 quantisation
+                # step past the +-1 uint8 gate, so bicubic/lanczos keep
+                # the unquantised HIGHEST second pass.
+                tq = jnp.clip(jnp.floor(t + 0.5), 0.0, 255.0).astype(
+                    jnp.bfloat16
+                )
+                Ww_hi = Ww.astype(jnp.bfloat16)
+                Ww_lo = (Ww - Ww_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                y = jnp.einsum("uj,coj->cou", Ww_hi, tq,
+                               preferred_element_type=jnp.float32)
+                return y + jnp.einsum("uj,coj->cou", Ww_lo, tq,
+                                      preferred_element_type=jnp.float32)
+            return jnp.einsum("uj,coj->cou", Ww, t,
+                              precision=jax.lax.Precision.HIGHEST)
         t = jnp.einsum("oi,cij->coj", Wh, img,
                        precision=jax.lax.Precision.HIGHEST)
         return jnp.einsum("uj,coj->cou", Ww, t,

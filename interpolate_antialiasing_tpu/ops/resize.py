@@ -572,17 +572,19 @@ def image_resize(
     axes = [i for i in range(image.ndim) if int(shape[i]) != image.shape[i]]
     if not axes:
         return image
-    if axes == [image.ndim - 2, image.ndim - 1] or (
-        image.ndim >= 2 and axes == [image.ndim - 1]
-    ) or axes == [image.ndim - 2]:
-        # The common image case (trailing plane changes) goes through the
-        # full resize() dispatcher: fused single-kernel/streamed pipelines,
-        # and the bit-exact int8 digit route for eligible uint8 calls —
-        # instead of resize_nd's generic per-axis passes.
-        oh = int(shape[image.ndim - 2]) if image.ndim >= 2 else 1
-        ow = int(shape[image.ndim - 1])
-        if image.ndim >= 2:
-            return resize(image, (oh, ow), method=method, antialias=antialias)
+    if image.ndim >= 2 and axes == [image.ndim - 2, image.ndim - 1]:
+        # The common image case (both trailing axes change) goes through
+        # the full resize() dispatcher: fused single-kernel/streamed
+        # pipelines, and the bit-exact int8 digit route for eligible uint8
+        # calls.  Single-axis changes stay on resize_nd's per-axis pass —
+        # a 2-D resize() would add a full identity pass over the
+        # unchanged axis (real MXU work for zero output change).
+        return resize(
+            image,
+            (int(shape[image.ndim - 2]), int(shape[image.ndim - 1])),
+            method=method,
+            antialias=antialias,
+        )
     return resize_nd(
         image, [int(shape[i]) for i in axes], axes, method=method,
         antialias=antialias,

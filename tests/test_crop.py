@@ -123,3 +123,27 @@ def test_crop_split_precision_matches_f32(rng):
     ref = np.clip(np.floor(np.asarray(yf) + 0.5), 0, 255).astype(np.uint8)
     d = np.abs(np.asarray(y8).astype(int) - ref.astype(int)).max()
     assert d <= 1, d
+
+
+@pytest.mark.parametrize("method", ["bilinear", "bicubic"])
+def test_crop_split_path_within_u8_gate(rng, monkeypatch, method):
+    """Actually exercise the TPU split-bf16 crop path on CPU (round-2b
+    review: the path was gated on _on_tpu and had zero CI coverage).
+    bilinear takes the quantised-intermediate route, bicubic keeps the
+    HIGHEST second pass (negative lobes could amplify the quantisation
+    step past the gate); both must stay within +-1 of the full-HIGHEST
+    float oracle after uint8 rounding."""
+    from interpolate_antialiasing_tpu.ops import resize as resize_mod
+
+    x = (rng.random((4, 3, 60, 80)) * 255).astype(np.uint8)
+    b01 = rng.uniform(0.0, 0.3, (4, 2)).astype(np.float32)
+    b23 = rng.uniform(0.7, 1.0, (4, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([b01, b23], axis=1))
+    ref_f = np.asarray(ia.crop_and_resize(
+        jnp.asarray(x, jnp.float32), boxes, (32, 40), method=method))
+    ref_u8 = np.clip(np.floor(ref_f + 0.5), 0, 255).astype(int)
+    monkeypatch.setattr(resize_mod, "_on_tpu", lambda: True)
+    y = np.asarray(ia.crop_and_resize(jnp.asarray(x), boxes, (32, 40),
+                                      method=method)).astype(int)
+    d = np.abs(y - ref_u8).max()
+    assert d <= 1, (method, d)

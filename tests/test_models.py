@@ -157,19 +157,32 @@ def test_imagenet_pipeline_short_side_center_crop(rng, monkeypatch):
 
     monkeypatch.setattr(resize_mod, "_on_tpu", lambda: True)
     monkeypatch.setattr(pe, "_use_tpu_kernels", lambda: True)
-    x = (rng.random((2, 3, 300, 420)) * 255).astype(np.uint8)
-    pipe = ImageNetEvalPipeline(size=(224, 224), short_side=256)
+    # 300x350 input: the long side is 256*350/300 = 298.67 — torchvision
+    # TRUNCATES to 298 (a round() would give 299); crop 225x225 so the
+    # vertical margin is 31 — torchvision uses int(round(15.5)) = 16
+    # (a floor would give 15).  Both roundings are distinguishable here.
+    x = (rng.random((2, 3, 300, 350)) * 255).astype(np.uint8)
+    pipe = ImageNetEvalPipeline(size=(225, 225), short_side=256)
     y = np.asarray(pipe(jnp.asarray(x)))
     refs = []
     for img in x:
         im = Image.fromarray(img.transpose(1, 2, 0))
-        # torchvision Resize(256): short side -> 256, aspect preserved
-        rh, rw = 256, round(256 * 420 / 300)
+        rh, rw = 256, int(256 * 350 / 300)
+        assert rw == 298
         im = im.resize((rw, rh), Image.BILINEAR)
-        top, left = (rh - 224) // 2, (rw - 224) // 2
-        im = im.crop((left, top, left + 224, top + 224))
+        top = int(round((rh - 225) / 2.0))
+        left = int(round((rw - 225) / 2.0))
+        assert top == 16  # not the floor 15
+        im = im.crop((left, top, left + 225, top + 225))
         refs.append(np.asarray(im).transpose(2, 0, 1))
     ref = np.stack(refs).astype(np.float32) / 255.0
     mean = np.asarray(_IMAGENET_MEAN, np.float32).reshape(1, 3, 1, 1)
     std = np.asarray(_IMAGENET_STD, np.float32).reshape(1, 3, 1, 1)
     np.testing.assert_allclose(y, (ref - mean) / std, atol=1e-6)
+
+
+def test_short_side_oversized_crop_raises(rng):
+    pipe = ImageNetEvalPipeline(size=(256, 256), short_side=224)
+    x = jnp.asarray((rng.random((1, 3, 224, 300)) * 255).astype(np.uint8))
+    with pytest.raises(ValueError, match="CenterCrop"):
+        pipe(x)

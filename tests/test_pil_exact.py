@@ -327,9 +327,11 @@ def test_image_resize_trailing_plane_promotes(rng, monkeypatch):
         np.asarray(Image.fromarray(x.transpose(1, 2, 0)).resize(
             (50, 40), Image.BILINEAR)), (2, 0, 1))
     np.testing.assert_array_equal(y, ref)
-    # single-trailing-axis change still goes through resize()
+    # single-trailing-axis changes stay on resize_nd's per-axis pass (a
+    # 2-D resize() would add a full identity pass over the unchanged
+    # axis): within the float-path gate of PIL, not necessarily exact
     y2 = np.asarray(ia.image_resize(jnp.asarray(x), (3, 80, 50)))
     ref2 = np.transpose(
         np.asarray(Image.fromarray(x.transpose(1, 2, 0)).resize(
             (50, 80), Image.BILINEAR)), (2, 0, 1))
-    np.testing.assert_array_equal(y2, ref2)
+    assert np.abs(y2.astype(int) - ref2.astype(int)).max() <= 1
