@@ -664,7 +664,8 @@ def resize_axis_pallas(
     precision = _resolve_precision(precision)
     if x.shape[axis] != spec.in_size:
         raise ValueError(f"axis {axis} has {x.shape[axis]} != {spec.in_size}")
-    if fused and (spec.mode in ("box", "nearest") or spec.border != "renorm"):
+    if fused and (spec.mode in ("box", "nearest", "area")
+                  or spec.border != "renorm"):
         fused = False  # discontinuous filter / replicate borders (see _synth_band)
     if out_dtype is None:
         out_dtype = jnp.float32 if x.dtype == jnp.uint8 else x.dtype
@@ -762,7 +763,8 @@ def resize2d_pallas(
     lead = x.shape[:-2]
     B = int(np.prod(lead)) if lead else 1
     H, W = x.shape[-2], x.shape[-1]
-    if fused and (spec_w.mode in ("box", "nearest") or spec_w.border != "renorm"):
+    if fused and (spec_w.mode in ("box", "nearest", "area")
+                  or spec_w.border != "renorm"):
         fused = False
 
     btw = _tiles_cached(spec_w, _LANE, _LANE)

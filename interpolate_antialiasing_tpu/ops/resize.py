@@ -320,12 +320,17 @@ def resize(
       4-D+ array; uint8, float32, float64 or bfloat16.
     * ``size``: output ``(height, width)``.
     * ``method``: bilinear | bicubic | nearest(≡ PIL box when antialias) |
-      box | lanczos3 | nearest_legacy (torch's asymmetric ``mode='nearest'``
+      box | lanczos3 | hamming | area (torch's exact adaptive-average-pool
+      window rule) | nearest_legacy (torch's asymmetric ``mode='nearest'``
       rounding, byte-exact, always non-AA).
     * uint8 inputs are resampled in float32 and rounded back PIL-style
       (``floor(v + 0.5)`` clamped to [0, 255]); the reference instead
       truncates via ``.byte()`` after a Python-side clamp (test.py:71-75) —
       we match Pillow, the shared oracle.
+    * precision: on TPU, float32 ``backend='auto'`` runs the fused kernels
+      in split-bf16 (pairwise-exact to ~2^-16 relative — holds the Pillow
+      MaxAbsE <= 1 gate); pass ``backend='dense'`` or set
+      ``IA_TPU_PRECISION=f32`` for full-f32 HIGHEST math.
     """
     if options is not None:
         explicit = (
@@ -515,18 +520,17 @@ def interpolate(
 ) -> jax.Array:
     """torch.nn.functional.interpolate-shaped shim over :func:`resize`.
 
-    torch mode aliases are honoured: ``area`` maps to the antialiased box
-    filter — identical to torch's adaptive-average-pool semantics for
-    integer scale ratios, but for fractional ratios the window-inclusion
-    rules differ (torch includes partially-overlapped edge pixels at full
-    weight; the PIL box filter includes taps by centre position), so
-    values diverge there.  ``nearest`` maps faithfully to torch's legacy
-    asymmetric rounding (``floor(i*scale)``, byte-exact — fuzz-tested in
-    test_torch_parity.py); ``nearest-exact`` maps to the corrected
-    rounding.  Both disable antialias.
+    torch mode aliases are honoured faithfully: ``area`` is torch's
+    adaptive-average-pool window rule (every pixel the interval
+    ``[i*in/out, (i+1)*in/out)`` touches, at full uniform weight) — exact
+    for integer AND fractional ratios, fuzz-tested against
+    ``F.interpolate(mode='area')`` in test_torch_parity.py; ``nearest``
+    maps to torch's legacy asymmetric rounding (``floor(i*scale)``,
+    byte-exact — fuzz-tested likewise); ``nearest-exact`` maps to the
+    corrected rounding.  The nearest modes disable antialias.
     """
     if mode == "area":
-        mode, antialias = "box", True
+        antialias = True
     elif mode in ("nearest", "nearest_legacy"):
         mode, antialias = "nearest_legacy", False
     elif mode == "nearest-exact":

@@ -102,6 +102,33 @@ def make_axis_spec(
     align_corners: bool = False,
     scale_factor: float | None = None,
 ) -> AxisSpec:
+    if mode == "area":
+        # Exact torch `area` semantics: F.interpolate(mode="area") is
+        # adaptive_avg_pool2d, whose window INCLUDES every pixel the
+        # interval [i*in/out, (i+1)*in/out) touches at FULL weight
+        # (integer window bounds, uniform 1/size weights) — not a
+        # centre-position filter, so it is its own table rule rather
+        # than a Filter.  The ecosystem-parity obligation mirrors the
+        # reference keeping the classic non-AA semantics alongside AA
+        # (step_zero/aa_interpolation_impl.h:378-407).
+        if align_corners:
+            raise ValueError("area mode does not take align_corners")
+        i = np.arange(max(out_size, 1), dtype=np.int64)
+        sizes = -(-((i + 1) * in_size) // out_size) - (i * in_size) // out_size
+        ntaps = int(sizes.max())
+        scale = in_size / out_size if out_size > 0 else 0.0
+        return AxisSpec(
+            in_size=in_size,
+            out_size=out_size,
+            mode="area",
+            antialias=antialias,
+            align_corners=False,
+            scale=scale,
+            support=ntaps / 2.0,
+            invscale=1.0,
+            ntaps=ntaps,
+            border="renorm",
+        )
     # The classic (non-AA) bicubic convention is Keys a=-0.75 with
     # replicate borders (torch/OpenCV); the AA path is PIL's a=-0.5 with
     # renormalised borders.
@@ -156,6 +183,8 @@ def compute_tables(
     step_two_dot_two/aa_interpolation_impl.h:251-279.
     """
     dtype = np.dtype(dtype).type
+    if spec.mode == "area":
+        return _compute_tables_area(spec, dtype)
     out, ntaps = spec.out_size, spec.ntaps
     center = _centers(spec, np, dtype)  # [out]
     support = dtype(spec.support)
@@ -184,6 +213,20 @@ def compute_tables(
     # Guard total == 0 exactly like the reference (:270-272) — leave the raw
     # (all-zero) weights in place.
     w = np.where(total != 0.0, w / np.where(total == 0.0, 1.0, total), w)
+    return xmin.astype(np.int32), size.astype(np.int32), w.astype(dtype)
+
+
+def _compute_tables_area(spec, dtype):
+    """Exact torch ``area`` windows (ATen adaptive_avg_pool2d index rule:
+    ``start = i*in/out`` floored, ``end = (i+1)*in/out`` ceiled, every
+    included pixel at full uniform weight).  Integer window bounds, so the
+    tables are exact in any float dtype up to the 1/size reciprocal."""
+    i = np.arange(spec.out_size, dtype=np.int64)
+    xmin = (i * spec.in_size) // spec.out_size
+    xmax = -(-((i + 1) * spec.in_size) // spec.out_size)
+    size = xmax - xmin
+    j = np.arange(spec.ntaps, dtype=np.int64)
+    w = np.where(j[None, :] < size[:, None], 1.0 / size[:, None], 0.0)
     return xmin.astype(np.int32), size.astype(np.int32), w.astype(dtype)
 
 
@@ -219,8 +262,10 @@ def compute_tables_traced(spec: AxisSpec, xp, dtype) -> tuple[Any, Any, Any]:
     reference's CUDA playground question of precompute-vs-fuse,
     playground_cuda/playground.cu:31-62).
     """
-    if spec.border != "renorm":
-        raise NotImplementedError("traced tables support the renorm border only")
+    if spec.border != "renorm" or spec.mode == "area":
+        raise NotImplementedError(
+            "traced tables support the renorm filter border only"
+        )
     out, ntaps = spec.out_size, spec.ntaps
     i = xp.arange(out, dtype=dtype)
     if spec.align_corners:

@@ -82,9 +82,9 @@ def test_nearest_exact_parity(rng):
 
 
 def test_interpolate_mode_aliases(rng):
-    """torch F.interpolate mode aliases: 'area' (== adaptive-avg-pool for
-    INTEGER scale ratios; fractional ratios diverge, see interpolate's
-    docstring) and 'nearest'/'nearest-exact' (no antialias)."""
+    """torch F.interpolate mode aliases: 'area' (torch's exact
+    adaptive-avg-pool window rule) and 'nearest'/'nearest-exact' (no
+    antialias)."""
     torch = pytest.importorskip("torch")
     x = (rng.random((1, 3, 24, 36)) * 255).astype(np.float32)
     ref = torch.nn.functional.interpolate(
@@ -98,6 +98,45 @@ def test_interpolate_mode_aliases(rng):
     yn = np.asarray(ia.interpolate(jnp.asarray(x), size=(12, 18),
                                    mode="nearest-exact"))
     np.testing.assert_array_equal(yn, refn)
+
+
+def test_area_mode_fractional_fuzz(rng):
+    """mode='area' matches torch's adaptive-average-pool window-inclusion
+    rule exactly, for FRACTIONAL ratios too (round 2 documented a
+    divergence here; round 3 implements the adaptive rule as its own
+    banded table — weights.py::_compute_tables_area)."""
+    torch = pytest.importorskip("torch")
+    for _ in range(20):
+        H, W = int(rng.integers(3, 130)), int(rng.integers(3, 130))
+        oh = int(rng.integers(1, H + 1))  # area mode is for downsampling
+        ow = int(rng.integers(1, W + 1))
+        x = (rng.random((1, 3, H, W)) * 255).astype(np.float32)
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=(oh, ow), mode="area"
+        ).numpy()
+        y = np.asarray(
+            ia.interpolate(jnp.asarray(x), size=(oh, ow), mode="area")
+        )
+        np.testing.assert_allclose(
+            y, ref, atol=2e-4, rtol=1e-6, err_msg=f"{H}x{W}->{oh}x{ow}"
+        )
+    # upsampling ratios hit the size-1/2 windows of the adaptive rule
+    x = (rng.random((1, 2, 13, 17)) * 255).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(19, 23), mode="area"
+    ).numpy()
+    y = np.asarray(ia.interpolate(jnp.asarray(x), size=(19, 23), mode="area"))
+    np.testing.assert_allclose(y, ref, atol=2e-4, rtol=1e-6)
+    # area windows are exact through every backend route (same tables)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(5, 6), mode="area"
+    ).numpy()
+    for backend in ("dense", "gather", "banded"):
+        y = np.asarray(
+            ia.resize(jnp.asarray(x), (5, 6), method="area", backend=backend)
+        )
+        np.testing.assert_allclose(y, ref, atol=2e-4, rtol=1e-6,
+                                   err_msg=backend)
 
 
 def test_nearest_legacy_parity_fuzz(rng):
