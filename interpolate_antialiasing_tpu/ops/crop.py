@@ -119,10 +119,17 @@ def crop_and_resize(
     # inputs, with the dropped lo*lo term ~2^-16 relative (below the uint8
     # rounding gate).  Float inputs keep full HIGHEST precision.  TPU
     # only: off-MXU the split doubles the matmul work for nothing.
+    from .filters import filter_is_nonnegative
     from .resize import _on_tpu
 
     split = in_dtype == jnp.uint8 and _on_tpu()
-    quant_inter = split and method in ("bilinear", "box", "nearest", "hamming")
+    # Eligibility derived from the filter function's sign (crop matrices
+    # are traced, so the matrix itself can't be inspected at trace time) —
+    # no hand-maintained mode list; see filters.filter_is_nonnegative.
+    quant_inter = split and filter_is_nonnegative(
+        "bicubic075" if not antialias and get_filter(method).name in
+        ("bicubic", "cubic") else method
+    )
 
     def one(img, box):
         y0, x0, y1, x1 = box[0] * H, box[1] * W, box[2] * H, box[3] * W

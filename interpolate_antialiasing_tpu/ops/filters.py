@@ -19,12 +19,14 @@ table precompute) and traced (in-graph / in-Pallas-kernel) paths.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable
 
 __all__ = [
     "Filter",
     "FILTERS",
     "get_filter",
+    "filter_is_nonnegative",
     "triangle_filter",
     "box_filter",
     "keys_cubic_filter",
@@ -145,6 +147,26 @@ FILTERS: dict[str, Filter] = {
     "lanczos3": _FnFilter("lanczos3", 3.0, fn=lanczos3_filter),
     "hamming": _FnFilter("hamming", 1.0, fn=hamming_filter),
 }
+
+
+@functools.cache
+def filter_is_nonnegative(name: str) -> bool:
+    """Whether the filter is non-negative everywhere on its support.
+
+    Derived from the filter FUNCTION (dense sampling over the support),
+    never from a hand-maintained mode list — the classifier perf gates key
+    quantised-intermediate / clip-free optimisations on (the same drift
+    class pil_exact._needs_clip closed for the digit kernels: adding a
+    filter, or a future near-negative window, must route conservatively by
+    construction).  Non-negative rows keep intermediate quantisation error
+    bounded by sum(w)*0.5 = 0.5; a negative lobe has sum|w| > 1 and can
+    amplify it past the ±1 uint8 gate.
+    """
+    import numpy as np
+
+    f = get_filter(name)
+    xs = np.linspace(-f.support - 0.5, f.support + 0.5, 1 << 14)
+    return bool(np.min(f(xs, np)) >= 0.0)
 
 
 def get_filter(name: str) -> Filter:

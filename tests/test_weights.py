@@ -167,3 +167,50 @@ def test_table_invariants_random_sweep():
             s = int(bt.starts[t])
             R[o0:o1, s : s + bt.k_in] += seg[:, : min(bt.k_in, insz - s)]
         np.testing.assert_allclose(R, W, atol=0)
+
+
+def test_filter_sign_classifier():
+    """The quantise-eligibility classifier is derived from the filter
+    function, not a mode list: known-nonnegative filters pass, negative
+    lobes fail, and a synthetic near-negative filter routes conservatively
+    (the drift class VERDICT r2 flagged against crop.py's hand list)."""
+    from interpolate_antialiasing_tpu.ops import filters as F
+
+    for name in ("bilinear", "box", "nearest", "hamming", "triangle"):
+        assert F.filter_is_nonnegative(name), name
+    for name in ("bicubic", "bicubic075", "lanczos3", "cubic"):
+        assert not F.filter_is_nonnegative(name), name
+
+    def tiny_lobe(x, xp):  # max negative excursion -1e-9: must still fail
+        ax = xp.abs(x)
+        w = xp.where(ax < 1.0, 1.0 - ax, xp.zeros_like(ax))
+        return w - xp.where(ax < 2.0, 1e-9, 0.0)
+
+    F.FILTERS["_test_neglobe"] = F._FnFilter("_test_neglobe", 2.0, fn=tiny_lobe)
+    try:
+        F.filter_is_nonnegative.cache_clear()
+        assert not F.filter_is_nonnegative("_test_neglobe")
+    finally:
+        del F.FILTERS["_test_neglobe"]
+        F.filter_is_nonnegative.cache_clear()
+
+
+def test_area_tables_exact():
+    """Area-mode tables implement ATen's adaptive window rule exactly."""
+    from interpolate_antialiasing_tpu.ops.weights import (
+        compute_tables, dense_matrix, make_axis_spec,
+    )
+
+    for insz, outsz in [(10, 4), (7, 3), (438, 196), (13, 17), (5, 5)]:
+        spec = make_axis_spec(insz, outsz, "area")
+        xmin, size, w = compute_tables(spec, dtype=np.float64)
+        for i in range(outsz):
+            start = (i * insz) // outsz
+            end = -(-((i + 1) * insz) // outsz)
+            assert xmin[i] == start and size[i] == end - start, (insz, outsz, i)
+            np.testing.assert_allclose(
+                w[i, : size[i]], 1.0 / size[i], atol=0
+            )
+            assert (w[i, size[i]:] == 0).all()
+        W = dense_matrix(spec, dtype=np.float64)
+        np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-15)
