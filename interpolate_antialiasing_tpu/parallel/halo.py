@@ -174,41 +174,91 @@ def plan_halo_banded(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _local_contract_pallas(ext3, out_size, starts_d, bands_d, WdT):
-    """Differentiable shard-local banded H contraction.
+# The shard-local banded H contraction as a registered JAX primitive (the
+# ops/primitive.py pattern): the op is LINEAR in the image rows, so forward
+# mode (jax.jvp) is the op applied to the tangent and reverse mode is the
+# exact transposed local contraction ``WdT @ g`` — shard-local, no
+# communication (the ring-exchange transpose is handled by ppermute's own
+# rules outside).  Round 2 used jax.custom_vjp here, which made the sharded
+# path reverse-only and returned int32 zeros as the cotangent of the integer
+# ``starts`` operand (two round-2 advisor findings); the primitive gives
+# fwd+rev on the explicit shard_map path and never fabricates cotangents.
+# Unlike ops/primitive.py's specs-as-static-params, the operands here are
+# TRACED (each device selects its shard's starts/bands via lax.axis_index),
+# so they are primitive operands, not params.
+from jax import core as _core
+from jax.extend.core import Primitive as _Primitive
+from jax.interpreters import ad as _ad, mlir as _mlir
 
-    Forward: the Pallas mid-axis banded pass (runtime starts/band values —
-    every device runs one program, its shard's values selected by
-    ``lax.axis_index``).  A raw ``pallas_call`` has no autodiff rules, so
-    this wrapper supplies the exact adjoint: the op is linear, its VJP is
-    the transposed local contraction ``WdT @ g`` — shard-local, no
-    communication (the ring-exchange transpose is handled by ppermute's own
-    transpose rule outside).  This is what makes ``resize_sharded`` /
-    ``halo_resize_h`` trainable end-to-end on the explicit shard_map path.
-    """
+halo_local_contract_p = _Primitive("aa_halo_local_contract")
+
+
+def _halo_contract_impl(ext3, starts_d, bands_d, WdT, *, out_size):
     from ..ops.pallas_resize import banded_pass_mid_dynamic
 
     return banded_pass_mid_dynamic(ext3, starts_d, bands_d, out_size=out_size)
 
 
-def _local_contract_fwd(ext3, out_size, starts_d, bands_d, WdT):
-    y = _local_contract_pallas(ext3, out_size, starts_d, bands_d, WdT)
-    return y, (starts_d, bands_d, WdT)
-
-
-def _local_contract_bwd(out_size, res, g):
-    starts_d, bands_d, WdT = res
-    # d_ext[b, h, w] = sum_o WdT[h, o] g[b, o, w] — exact transposed band
-    d_ext = jnp.einsum(
-        "ho,bow->bhw", WdT, g, precision=jax.lax.Precision.HIGHEST
-    ).astype(g.dtype)
-    return d_ext, jnp.zeros_like(starts_d), jnp.zeros_like(bands_d), (
-        jnp.zeros_like(WdT)
+def _halo_contract_abstract(ext3, starts_d, bands_d, WdT, *, out_size):
+    return _core.ShapedArray(
+        (ext3.shape[0], out_size, ext3.shape[2]), ext3.dtype
     )
 
 
-_local_contract_pallas.defvjp(_local_contract_fwd, _local_contract_bwd)
+def _halo_contract_jvp(primals, tangents, *, out_size):
+    ext3, starts_d, bands_d, WdT = primals
+    t_ext, _t_starts, t_bands, t_WdT = tangents
+    y = halo_local_contract_p.bind(
+        ext3, starts_d, bands_d, WdT, out_size=out_size
+    )
+    # The resampling weights are host-built constants; silently returning a
+    # zero weight gradient would be a trap if they ever became learnable
+    # (round-2 advisor finding) — fail loudly instead.
+    if not isinstance(t_bands, _ad.Zero) or not isinstance(t_WdT, _ad.Zero):
+        raise TypeError(
+            "halo_local_contract: the weight operands (bands/WdT) are "
+            "host-built constants and are not differentiable"
+        )
+    if isinstance(t_ext, _ad.Zero):
+        t_y = _ad.Zero.from_primal_value(y)
+    else:
+        t_y = halo_local_contract_p.bind(
+            t_ext, starts_d, bands_d, WdT, out_size=out_size
+        )
+    return y, t_y
+
+
+def _halo_contract_transpose(ct, ext3, starts_d, bands_d, WdT, *, out_size):
+    assert _ad.is_undefined_primal(ext3), (
+        "halo_local_contract is linear in ext3 only"
+    )
+    if isinstance(ct, _ad.Zero):
+        return None, None, None, None
+    # d_ext[b, h, w] = sum_o WdT[h, o] ct[b, o, w] — exact transposed band
+    d_ext = jnp.einsum(
+        "ho,bow->bhw", WdT, ct, precision=jax.lax.Precision.HIGHEST
+    ).astype(ct.dtype)
+    return d_ext, None, None, None
+
+
+halo_local_contract_p.def_impl(_halo_contract_impl)
+halo_local_contract_p.def_abstract_eval(_halo_contract_abstract)
+_ad.primitive_jvps[halo_local_contract_p] = _halo_contract_jvp
+_ad.primitive_transposes[halo_local_contract_p] = _halo_contract_transpose
+_mlir.register_lowering(
+    halo_local_contract_p,
+    _mlir.lower_fun(_halo_contract_impl, multiple_results=False),
+)
+
+
+def _local_contract_pallas(ext3, out_size, starts_d, bands_d, WdT):
+    """Differentiable shard-local banded H contraction (see primitive above);
+    forward runs the Pallas mid-axis banded pass with runtime starts/band
+    values — every device runs one program, its shard's values selected by
+    ``lax.axis_index``."""
+    return halo_local_contract_p.bind(
+        ext3, starts_d, bands_d, WdT, out_size=out_size
+    )
 
 
 def _halo_local_h(xl, plan: HaloPlan, n: int, axis: str, h_axis: int,
@@ -355,12 +405,13 @@ def resize_sharded(
     the banded local contraction.  Sizes need not divide the mesh axis.
     uint8 inputs are resampled in float32 and rounded back PIL-style.
 
-    Differentiable (reverse mode) for float inputs: the W pass is the
-    registered per-axis primitive and the local H contraction carries a
-    custom VJP (:func:`_local_contract_pallas`), so ``jax.grad`` through
-    the whole shard_map chain equals the unsharded gradient.  Forward-mode
-    ``jax.jvp`` is not available on this explicit path (custom_vjp); use
-    the jit-partitioned route (models/train.py) when jvp is needed.
+    Differentiable for float inputs — BOTH modes: the W pass is the
+    registered per-axis primitive and the local H contraction is the
+    registered ``halo_local_contract_p`` primitive (linear jvp + exact
+    transposed-band adjoint), so ``jax.jvp`` and ``jax.grad`` through the
+    whole shard_map chain equal the unsharded derivatives
+    (check_grads fwd+rev over the 8-device virtual mesh in
+    tests/test_parallel.py).
     """
     from ..ops.resize import _axes_for
 

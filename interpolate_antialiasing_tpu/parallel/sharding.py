@@ -54,8 +54,10 @@ def data_parallel_resize(
     """Batch-sharded resize: jit with sharded in/out over the mesh.
 
     Each device resizes its local shard; no cross-device communication is
-    required (XLA inserts none — asserted in tests by compiling with
-    8 virtual devices and checking output shardings).
+    required (XLA inserts none — test_parallel compiles the module over an
+    8-device mesh and asserts the HLO text contains no all-reduce /
+    all-gather / reduce-scatter / collective-permute / all-to-all, plus
+    checks the output sharding).
     """
     mesh = mesh or make_mesh()
     spec = P(axis, *([None] * (x.ndim - 1)))

@@ -32,6 +32,28 @@ def test_data_parallel_matches_local(test_image):
     assert y.sharding.spec == P("data", None, None, None)
 
 
+def test_data_parallel_is_collective_free(test_image):
+    """Pin sharding.py's 'XLA inserts no collectives' claim in the compiled
+    HLO itself: the batch-sharded resize module must contain no
+    all-reduce / all-gather / reduce-scatter / collective-permute /
+    all-to-all (output-sharding checks alone wouldn't catch XLA
+    round-tripping through a gather)."""
+    from jax.sharding import NamedSharding
+
+    mesh = make_mesh()
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    x = jnp.asarray(
+        np.stack([np.asarray(test_image, np.float32)] * 8)
+    )
+
+    f = jax.jit(lambda t: ia.resize(t, (96, 120)), in_shardings=sh,
+                out_shardings=sh)
+    hlo = f.lower(x).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "reduce-scatter",
+                 "collective-permute", "all-to-all"):
+        assert coll not in hlo, f"collective {coll} in DP resize HLO"
+
+
 @pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
 @pytest.mark.parametrize("in_h,out_h", [(64, 32), (32, 64), (128, 48)])
 def test_halo_resize_matches_local(rng, mode, in_h, out_h):
@@ -212,3 +234,62 @@ def test_halo_resize_h_adjoint_identity(rng):
         lhs = float(jnp.vdot(fx, y))
         rhs = float(jnp.vdot(x, xt))
         assert abs(lhs - rhs) <= 1e-3 * max(1.0, abs(lhs)), (up, lhs, rhs)
+
+
+def test_resize_sharded_check_grads_fwd_rev(rng):
+    """check_grads fwd+rev through resize_sharded's full shard_map chain —
+    the local contraction is a registered primitive now (round 3), so
+    forward-mode jax.jvp works on the explicit sharded path too (round 2's
+    custom_vjp made it reverse-only; STATUS limitation lifted)."""
+    from jax.test_util import check_grads
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("sp",))
+    x = jnp.asarray(rng.random((2, 48, 40)).astype(np.float64))
+
+    def f(v):
+        from interpolate_antialiasing_tpu.parallel import resize_sharded
+
+        return resize_sharded(v, (24, 20), mesh, mode="bicubic",
+                              use_pallas=False)
+
+    check_grads(f, (x,), order=2, modes=["fwd", "rev"], atol=1e-6, rtol=1e-6)
+
+
+def test_resize_sharded_jvp_pallas_matches_dense(rng):
+    """Forward-mode jvp through the banded Pallas local pass equals the
+    dense route's jvp (the Pallas pass computes in f32, so finite
+    differences are compared against the dense formulation instead)."""
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("sp",))
+    x = jnp.asarray(rng.random((2, 48, 40)).astype(np.float32))
+    v = jnp.asarray(rng.random((2, 48, 40)).astype(np.float32))
+
+    def f(up):
+        from interpolate_antialiasing_tpu.parallel import resize_sharded
+
+        return lambda t: resize_sharded(t, (24, 20), mesh, mode="bicubic",
+                                        use_pallas=up)
+
+    yp, tp = jax.jvp(f(True), (x,), (v,))
+    yd, td = jax.jvp(f(False), (x,), (v,))
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yd), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(td), atol=1e-5)
+
+
+def test_halo_weight_operands_not_differentiable(rng):
+    """Differentiating w.r.t. the halo weight operands raises instead of
+    silently returning zeros (round-2 advisor finding)."""
+    from interpolate_antialiasing_tpu.parallel.halo import (
+        halo_local_contract_p,
+    )
+
+    ext3 = jnp.asarray(rng.random((1, 16, 8)).astype(np.float32))
+    starts = jnp.zeros((2,), jnp.int32)
+    bands = jnp.asarray(rng.random((2, 16, 128)).astype(np.float32))
+    WdT = jnp.asarray(rng.random((16, 8)).astype(np.float32))
+
+    def wrt_bands(b):
+        return halo_local_contract_p.bind(ext3, starts, b, WdT,
+                                          out_size=8).sum()
+
+    with pytest.raises(TypeError, match="not differentiable"):
+        jax.grad(wrt_bands)(bands)
