@@ -235,36 +235,77 @@ def _kernel_2pass_pil(
     kernel: per axis, 3 native int8 MXU digit matmuls (signed pixels
     ``x - 128``; the bias constant restores unsigned semantics) + int32
     recombine.  Round 2 ran the digits as bf16 matmuls; int8 measures
-    ~2.5x the bf16 MXU rate on v5e, and the operands halve again."""
+    ~2.5x the bf16 MXU rate on v5e, and the operands halve again.
+
+    Round 3: the int32 recombine epilogue is SOFTWARE-PIPELINED against the
+    matmuls — each tile's VPU recombine is emitted only after the NEXT
+    independent MXU matmul has been issued (lag-1, carried across the
+    W->H pass boundary and across images in the block), so the in-order
+    VLIW schedule can dual-issue the epilogue under MXU latency instead of
+    serialising matmul -> recombine -> matmul.  Round 2's roofline measured
+    the kernel epilogue-bound (0.406 ms actual vs 0.237 ms stubbed-epilogue
+    floor at the headline shape); the reference's analogous step is its
+    unroll/hoist epilogue micro-optimisation
+    (step_two_dot_one/aa_interpolation_impl.h:141-170)."""
+
+    def w_epilogue(S, bi, t):
+        # pass-1 epilogue -> signed u8-grid intermediate in scratch (int8:
+        # (clip8 result) - 128).  The -128 re-centering folds into the
+        # bias constant: shifting ct by 128<<PB before the arithmetic
+        # shift yields clip8(acc)-128 as clip(acc'>>PB, -128, 127) exactly
+        # (floor-shift composes), so the subtract runs on the [128]-wide
+        # constant, not the whole tile.
+        ct1 = ctw_ref[t] - jnp.int32(128 << PRECISION_BITS)
+        acc = (
+            jax.lax.shift_left(S[:, 256:], jnp.int32(16))
+            + jax.lax.shift_left(S[:, 128:256], jnp.int32(8))
+            + S[:, :128]
+            + ct1[None, :]
+        )
+        v = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
+        if clip_w:
+            v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
+        scratch[bi, :, t * 128 : (t + 1) * 128] = v.astype(jnp.int8)
+
+    def h_epilogue(S, bi, t):
+        # pass-2 epilogue -> final u8 rows (full 128-row tile: Mosaic
+        # lowers sub-tile slices of the 1-D bias vector to an unsupported
+        # gather, so the dead pad rows are recombined and dropped at the
+        # store — they are sublane-parallel and cost nothing extra).
+        u8v = _fixup_int(
+            S[:128], S[128:256], S[256:], cth_ref[t][:, None], clip=clip_h,
+        )
+        rows = min(128, OH - t * 128)
+        o_ref[bi, t * 128 : t * 128 + rows, :OW] = (
+            u8v[:rows, :OW].astype(jnp.uint8)
+        )
+
+    pend = None  # (epilogue_fn, S, bi, t) — the lag-1 pipeline register
+
+    def emit(fn, S, bi, t):
+        nonlocal pend
+        if pend is not None:
+            pend[0](pend[1], pend[2], pend[3])
+        pend = (fn, S, bi, t)
+
     for bi in range(bsz):
         # signed pixels once per image block: x - 128 == x XOR 0x80 for u8,
         # so it's a single VPU op + bitcast (no i32 widening round-trip)
         xs = jax.lax.bitcast_convert_type(
             x_ref[bi] ^ jnp.uint8(128), jnp.int8
         )
-        # pass 1 (W, Pillow's horizontal-first order) -> signed u8-grid
-        # intermediate in scratch (int8: (clip8 result) - 128).  The -128
-        # re-centering folds into the bias constant: shifting ct by
-        # 128<<PB before the arithmetic shift yields clip8(acc)-128 as
-        # clip(acc'>>PB, -128, 127) exactly (floor-shift composes), so the
-        # subtract runs on the [128]-wide constant, not the whole tile.
+        # pass 1 (W, Pillow's horizontal-first order)
         for t, s in enumerate(starts_w):
             win = xs[:, s : s + k_in_w]
             S = jax.lax.dot_general(
                 win, bandw_ref[t], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [rows, 3*128]: the three digit sums side by side
-            ct1 = ctw_ref[t] - jnp.int32(128 << PRECISION_BITS)
-            acc = (
-                jax.lax.shift_left(S[:, 256:], jnp.int32(16))
-                + jax.lax.shift_left(S[:, 128:256], jnp.int32(8))
-                + S[:, :128]
-                + ct1[None, :]
-            )
-            v = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
-            if clip_w:
-                v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
-            scratch[bi, :, t * 128 : (t + 1) * 128] = v.astype(jnp.int8)
+            emit(w_epilogue, S, bi, t)
+        # the H matmuls read every W tile's scratch columns, so the last W
+        # epilogue must land before pass 2 starts: drain the pipeline here.
+        pend[0](pend[1], pend[2], pend[3])
+        pend = None
         # pass 2 (H) on the quantised intermediate -> u8 output rows
         for t, s in enumerate(starts_h):
             win = scratch[bi, s : s + k_in_h, :]
@@ -272,14 +313,11 @@ def _kernel_2pass_pil(
                 bandh_ref[t], win, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [3*128, OWp]: digit sums stacked along rows
-            u8v = _fixup_int(
-                S[:128], S[128:256], S[256:], cth_ref[t][:, None],
-                clip=clip_h,
-            )
-            rows = min(128, OH - t * 128)
-            o_ref[bi, t * 128 : t * 128 + rows, :OW] = (
-                u8v[:rows, :OW].astype(jnp.uint8)
-            )
+            emit(h_epilogue, S, bi, t)
+        # the last H epilogue stays pending: it overlaps the next image's
+        # first W matmul (drained after the loop).
+    if pend is not None:
+        pend[0](pend[1], pend[2], pend[3])
 
 
 def _pil_vmem_bytes(H, W, OH, OW, btw, bth, bsz) -> int:
@@ -391,18 +429,26 @@ def _pil_streamed_vmem(ccols, tiles_per_chunk, btw, bth) -> int:
     )
 
 
-def _pil_stream_plan(W, btw, bth):
+def _pil_stream_plan(W, btw, bth, max_tiles: int | None = None):
     """Largest-chunk column plan that fits the VMEM budget, or None —
     the digit twin of pallas_resize._stream_plan (same chunk geometry:
-    consecutive W tiles share one 128-aligned DMA'd column window)."""
+    consecutive W tiles share one 128-aligned DMA'd column window).
+
+    ``max_tiles`` caps tiles_per_chunk — the retry ladder for
+    :func:`_resize_pil_exact_streamed`'s compile-failure fallback.
+    """
     from .pallas_resize import _stream_chunk_plan
 
     Wp = _round_up(W, 128)
     # Mosaic's scoped-VMEM accounting runs ~40% above this static model on
     # chunked cases (observed on-chip: 16.9M actual vs ~11M estimated at a
     # 24576-wide 8x shrink), so plan against a 2/3 budget for headroom.
+    # If real overhead ever exceeds that on some chunk geometry, the
+    # executor catches the Mosaic VMEM failure and retries the
+    # next-smaller plan (round-2 advisor finding) rather than failing.
     budget = _PIL_VMEM_BUDGET * 2 // 3
-    for ct in range(btw.n_tiles, 0, -1):
+    hi = btw.n_tiles if max_tiles is None else min(max_tiles, btw.n_tiles)
+    for ct in range(hi, 0, -1):
         plan = _stream_chunk_plan(btw, Wp, ct)
         if _pil_streamed_vmem(plan.ccols, plan.tiles_per_chunk, btw, bth) <= (
             budget
@@ -539,12 +585,15 @@ def _kernel_2pass_pil_streamed(
 
 def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
     """x3: uint8 [B, H, W] -> uint8 [B, oh, ow], bit-identical to Pillow,
-    streaming halo'd row windows (input never fully resident in VMEM)."""
-    from functools import partial as _partial
+    streaming halo'd row windows (input never fully resident in VMEM).
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+    The column-chunk plan is sized against a conservative VMEM model; if
+    Mosaic's scoped-VMEM accounting still rejects it on some geometry, the
+    eager path catches the compile failure and retries the next-smaller
+    chunk plan (round-2 advisor finding).  Under an outer jit the compile
+    happens later, out of reach — the conservative planner is the defence
+    there, as before.
+    """
     B, H, W = x3.shape
     btw, bandsw, ctw = _digit_tiles(W, ow, method)
     bth, bandsh, cth = _digit_tiles(H, oh, method, align=8)
@@ -552,13 +601,44 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
     if (Hp, Wp) != (H, W):
         # zero pad rows/cols carry zero digit weight -> bit-identical
         x3 = jnp.pad(x3, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    T = bth.n_tiles
     plan = _pil_stream_plan(W, btw, bth)
     if plan is None:
         raise ValueError(
             "pil_exact streamed: no column-chunk plan fits VMEM "
             f"(W={W}, k_rows={bth.k_in})"
         )
+    tracing = isinstance(x3, jax.core.Tracer)
+    while True:
+        try:
+            return _pil_streamed_call(
+                x3, H, W, oh, ow, method, plan,
+                btw, bandsw, ctw, bth, bandsh, cth,
+            )
+        except Exception as e:  # Mosaic VMEM admission (eager path only)
+            retryable = (
+                not tracing
+                and "vmem" in str(e).lower()
+                and plan.tiles_per_chunk > 1
+            )
+            if not retryable:
+                raise
+            plan = _pil_stream_plan(
+                W, btw, bth, max_tiles=plan.tiles_per_chunk - 1
+            )
+            if plan is None:
+                raise
+
+
+def _pil_streamed_call(
+    x3, H, W, oh, ow, method, plan, btw, bandsw, ctw, bth, bandsh, cth
+):
+    from functools import partial as _partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = x3.shape[0]
+    T = bth.n_tiles
     C, CT = plan.n_chunks, plan.tiles_per_chunk
     if C * CT > btw.n_tiles:  # pad the band array to whole chunks
         padt = C * CT - btw.n_tiles

@@ -69,6 +69,11 @@ def kernel_report(
     mode: str = "bilinear",
     dtype=jnp.uint8,
     antialias: bool = True,
+    backend: str = "auto",
+    output_dtype=None,
+    align_corners: bool = False,
+    scale_factors=None,
+    data_format: str | None = None,
 ) -> KernelReport:
     """Report band geometry and cost for a resize config without running it.
 
@@ -76,8 +81,15 @@ def kernel_report(
     specialisation fired, the operand strides) in banded-MXU terms: per-axis
     tap count, static window ``k_in``, tile count, band density (fraction of
     MXU MACs that touch nonzero weights), and MAC/byte totals.
+
+    The ``route`` field reports what ops/resize.py's dispatcher would pick
+    ON TPU for these exact call-site arguments — the full keyword surface
+    resize() gates on (backend / output_dtype / align_corners /
+    scale_factors / data_format) is accepted and forwarded, so the report
+    cannot drift from actual dispatch (round-2 advisor finding).
     """
     from ..ops.weights import make_axis_spec, banded_tiles
+    from ..ops.resize import _axes_for
     from ..ops.pallas_resize import (
         _tiles_exact_cached,
         resize2d_onekernel_supported,
@@ -86,15 +98,33 @@ def kernel_report(
 
     in_shape = tuple(int(s) for s in in_shape)
     oh, ow = int(out_hw[0]), int(out_hw[1])
-    H, W = in_shape[-2], in_shape[-1]
-    lead = int(np.prod(in_shape[:-2])) if len(in_shape) > 2 else 1
     dt = jnp.dtype(dtype)
-    spec_h = make_axis_spec(H, oh, mode, antialias)
-    spec_w = make_axis_spec(W, ow, mode, antialias)
+    ndim = len(in_shape)
 
     class _Fake:
         shape = in_shape
         ndim = len(in_shape)
+        dtype = dt
+
+    h_axis, w_axis = _axes_for(_Fake, data_format)
+    h_axis, w_axis = h_axis % ndim, w_axis % ndim
+    trailing_hw = h_axis == ndim - 2 and w_axis == ndim - 1
+    channels_last = ndim >= 3 and h_axis == ndim - 3 and w_axis == ndim - 2
+    H, W = in_shape[h_axis], in_shape[w_axis]
+    lead = int(np.prod(in_shape)) // (H * W)
+    sfh, sfw = scale_factors if scale_factors is not None else (None, None)
+    spec_h = make_axis_spec(H, oh, mode, antialias, align_corners, sfh)
+    spec_w = make_axis_spec(W, ow, mode, antialias, align_corners, sfw)
+    # the kernels see the NCHW-transposed shape for channels-last calls
+    shape_k = (
+        in_shape[:-3] + (in_shape[-1], in_shape[-3], in_shape[-2])
+        if channels_last
+        else in_shape
+    )
+
+    class _FakeK:
+        shape = shape_k
+        ndim = len(shape_k)
         dtype = dt
 
     # Resolve the output/intermediate dtypes EXACTLY like ops/resize.py so
@@ -103,24 +133,35 @@ def kernel_report(
     # uses a bf16 intermediate only for bf16 inputs.  Under backend="auto"
     # every dtype prefers the fused pipelines (round 2b dropped the
     # large-plane gate), with u8->u8 promoting to the pil int8 kernel first.
-    odt = dt
+    odt = jnp.dtype(output_dtype) if output_dtype is not None else dt
     inter = jnp.dtype(jnp.bfloat16) if dt == jnp.bfloat16 else jnp.dtype(jnp.float32)
     # u8 -> u8 plain-PIL calls promote to the bit-exact int8 digit kernel
-    # first (resize.py's 'auto' gate, round 2b)
+    # first (resize.py's 'auto' gate, round 2b) — same gate conditions.
     pil_int8 = False
-    if dt == jnp.uint8:
+    if (
+        dt == jnp.uint8
+        and odt == jnp.dtype(jnp.uint8)
+        and backend == "auto"
+        and not align_corners
+        and scale_factors is None
+        and (trailing_hw or channels_last)
+    ):
         try:
             from ..ops.pil_exact import pil_auto_promotable
 
-            pil_int8 = pil_auto_promotable(in_shape, oh, ow, mode, antialias)
+            pil_int8 = pil_auto_promotable(shape_k, oh, ow, mode, antialias)
         except Exception:
             pil_int8 = False
-    float_fused_gate = True  # 'auto' always prefers the fused pipelines
+    # 'auto'/'pallas' prefer the fused pipelines; explicit xla/dense/gather/
+    # banded backends never reach them (resize.py's backend_resolved gates)
+    float_fused_gate = backend in ("auto", "pallas") and (
+        trailing_hw or channels_last
+    )
     try:
         onek = (
             not pil_int8
             and float_fused_gate
-            and resize2d_onekernel_supported(_Fake(), spec_h, spec_w, odt)
+            and resize2d_onekernel_supported(_FakeK(), spec_h, spec_w, odt)
         )
     except Exception:
         onek = False
@@ -130,7 +171,7 @@ def kernel_report(
             and not pil_int8
             and not onek
             and resize2d_streamed_supported(
-                _Fake(), spec_h, spec_w, odt, inter_dtype=inter
+                _FakeK(), spec_h, spec_w, odt, inter_dtype=inter
             )
         )
     except Exception:
