@@ -1,0 +1,292 @@
+"""Microbenchmark: where does the digit kernel's epilogue time go?
+
+Round-2's roofline measured the headline int8 digit kernel epilogue-bound
+(0.406 ms/batch actual vs 0.237 ms stubbed-epilogue floor).  Round 3's
+first attempt — lag-1 software-pipelining the VPU recombine against the
+next MXU matmul at the trace level — changed nothing (0.401 ms), so this
+probe answers the questions that decide what CAN work:
+
+  1. ``overlap``: inside one Mosaic kernel, does independent VPU
+     elementwise work overlap in-flight MXU matmuls at all?  Three
+     kernels at matched shapes: matmul-chain only, epilogue-chain only,
+     and both interleaved (the VPU work independent of the matmuls).
+     ``t_mix ≈ max(t_mxu, t_vpu)`` ⇒ the scheduler dual-issues and the
+     fix is restructuring for independence; ``t_mix ≈ t_mxu + t_vpu`` ⇒
+     VPU and MXU serialize at op granularity and the only wins are
+     fewer VPU ops / elements.
+  2. ``components``: the headline-geometry kernel with the epilogue
+     progressively stubbed — full / arithmetic-without-clip /
+     store-only (int32→int8 convert + store, no recombine) — separating
+     recombine arithmetic from the int32→int8 pack+store relayout.
+
+Run on the real chip:  python benchmarks/epilogue_probe.py
+Prints one JSON line per measurement (profiler device time, the
+methodology docs/STATUS.md prescribes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+
+import numpy as np
+
+
+def _device_ms(fn, iters=50):
+    import jax
+    import jax.numpy as jnp
+
+    from interpolate_antialiasing_tpu.utils.timing import (
+        device_seconds_from_trace,
+    )
+
+    @jax.jit
+    def run(x):
+        def body(i, c):
+            y = fn(c)
+            s = jnp.sum(y.astype(jnp.float32)) * jnp.float32(1e-30)
+            return c.at[(0,) * c.ndim].add(s.astype(c.dtype))
+
+        x = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.sum(x.astype(jnp.float32)) * jnp.float32(1e-30)
+
+    return run
+
+
+def probe_overlap(reps: int = 16):
+    """Matmul-only vs VPU-only vs interleaved-independent, one kernel each.
+
+    Shapes mimic one W-pass tile at headline geometry: [440, 376] int8 @
+    [376, 384] int8 -> int32, and a 6-op int32 elementwise chain on an
+    INDEPENDENT [440, 384] int32 buffer (so no data dependency blocks
+    dual-issue).  Each rep's matmul uses a DISTINCT lhs slice — a
+    loop-invariant matmul is CSE'd to one (first probe run measured 8
+    GMACs in 5.3 us, i.e. nothing executed).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K, N = 440, 376, 384
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(-127, 128, (reps, M, K), np.int8))
+    b = jnp.asarray(rng.integers(-127, 128, (K, N), np.int8))
+    e = jnp.asarray(rng.integers(-1000, 1000, (M, N), np.int32))
+
+    def vpu_chain(v):
+        # the recombine's op mix: 2 shifts, 3 adds, 1 arithmetic shift
+        w = (
+            jax.lax.shift_left(v, jnp.int32(16))
+            + jax.lax.shift_left(v, jnp.int32(8))
+            + v
+            + jnp.int32(12345)
+        )
+        return jax.lax.shift_right_arithmetic(w, jnp.int32(2)) + v
+
+    def kern(a_ref, b_ref, e_ref, o_ref, s_ref, *, do_mxu, do_vpu):
+        acc = jnp.zeros((M, N), jnp.int32)
+        v = e_ref[...]
+        for r in range(reps):
+            if do_mxu:
+                acc += jax.lax.dot_general(
+                    a_ref[r], b_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            if do_vpu:
+                v = vpu_chain(v)
+        s_ref[...] = acc
+        o_ref[...] = v
+
+    def build(do_mxu, do_vpu):
+        f = pl.pallas_call(
+            functools.partial(kern, do_mxu=do_mxu, do_vpu=do_vpu),
+            out_shape=(
+                jax.ShapeDtypeStruct((M, N), jnp.int32),
+                jax.ShapeDtypeStruct((M, N), jnp.int32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )
+        return lambda x: f(a, b, x)[1]
+
+    out = {}
+    from interpolate_antialiasing_tpu.utils.timing import (
+        device_seconds_from_trace,
+    )
+
+    for name, mx, vp in (("mxu_only", True, False), ("vpu_only", False, True),
+                         ("interleaved", True, True)):
+        r = _device_ms(build(mx, vp), iters=20)
+        float(r(e))
+        dev = device_seconds_from_trace(lambda: float(r(e)))
+        out[name + "_ms"] = round(dev * 1e3 / 20, 4) if dev else None
+    s = (out.get("mxu_only_ms") or 0) + (out.get("vpu_only_ms") or 0)
+    out["sum_ms"] = round(s, 4)
+    # the MXU chain at the int8 ceiling (197 TMAC/s) would take
+    # reps * M*K*N / 197e12 seconds; report for context
+    out["mxu_ceiling_ms"] = round(reps * M * K * N / 197e12 * 1e3, 4)
+    return {"probe": "overlap", "reps_per_call": reps, **out}
+
+
+def probe_components():
+    """Headline-geometry digit kernel with the epilogue progressively
+    stubbed.  Variants share every matmul and store; only the epilogue
+    arithmetic differs — byte-exactness is NOT preserved in the stubs
+    (perf probe only)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from interpolate_antialiasing_tpu.ops.pil_exact import (
+        PRECISION_BITS,
+        _digit_tiles,
+        _pil_vmem_bytes,
+        _PIL_VMEM_BUDGET,
+    )
+
+    B, H, W, OH, OW = 192, 438, 906, 196, 320
+    btw, bandsw, ctw = _digit_tiles(W, OW, "bilinear")
+    bth, bandsh, cth = _digit_tiles(H, OH, "bilinear")
+    bsz = 1
+    for cand in range(8, 0, -1):
+        if B % cand == 0 and _pil_vmem_bytes(
+            H, W, OH, OW, btw, bth, cand
+        ) <= _PIL_VMEM_BUDGET:
+            bsz = cand
+            break
+
+    def kern(x_ref, bw_ref, bh_ref, cw_ref, ch_ref, o_ref, scratch,
+             *, variant):
+        for bi in range(bsz):
+            xs = jax.lax.bitcast_convert_type(
+                x_ref[bi] ^ jnp.uint8(128), jnp.int8
+            )
+            wtiles = []
+            for t, s in enumerate(int(v) for v in btw.starts):
+                S = jax.lax.dot_general(
+                    xs[:, s : s + btw.k_in], bw_ref[t],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                if variant == "store_only":
+                    v = S[:, :128]
+                else:  # arith / value_inter (the full clip-free epilogue)
+                    ct1 = cw_ref[t] - jnp.int32(128 << PRECISION_BITS)
+                    acc = (
+                        jax.lax.shift_left(S[:, 256:], jnp.int32(16))
+                        + jax.lax.shift_left(S[:, 128:256], jnp.int32(8))
+                        + S[:, :128]
+                        + ct1[None, :]
+                    )
+                    v = jax.lax.shift_right_arithmetic(
+                        acc, jnp.int32(PRECISION_BITS)
+                    )
+                if variant == "value_inter":
+                    # the intermediate stays an SSA VALUE — no scratch ref,
+                    # so no conservative memory-dependency ordering can
+                    # serialize epilogues against matmuls
+                    wtiles.append(v.astype(jnp.int8))
+                else:
+                    scratch[bi, :, t * 128 : (t + 1) * 128] = (
+                        v.astype(jnp.int8)
+                    )
+            if variant == "value_inter":
+                inter = jnp.concatenate(wtiles, axis=1)
+            for t, s in enumerate(int(v) for v in bth.starts):
+                win = (
+                    inter[s : s + bth.k_in, :]
+                    if variant == "value_inter"
+                    else scratch[bi, s : s + bth.k_in, :]
+                )
+                S = jax.lax.dot_general(
+                    bh_ref[t], win,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                if variant == "store_only":
+                    u = S[:128]
+                elif variant == "no_shift":
+                    u = S[:128] + S[128:256] + S[256:] + ch_ref[t][:, None]
+                else:
+                    acc = (
+                        jax.lax.shift_left(S[256:], jnp.int32(16))
+                        + jax.lax.shift_left(S[128:256], jnp.int32(8))
+                        + S[:128]
+                        + ch_ref[t][:, None]
+                    )
+                    u = jax.lax.shift_right_arithmetic(
+                        acc, jnp.int32(PRECISION_BITS)
+                    )
+                rows = min(128, OH - t * 128)
+                o_ref[bi, t * 128 : t * 128 + rows, :OW] = (
+                    u[:rows, :OW].astype(jnp.uint8)
+                )
+
+    def build(variant):
+        return pl.pallas_call(
+            functools.partial(kern, variant=variant),
+            out_shape=jax.ShapeDtypeStruct((B, OH, OW), jnp.uint8),
+            grid=(B // bsz,),
+            in_specs=[
+                pl.BlockSpec((bsz, H, W), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((btw.n_tiles, btw.k_in, 3 * 128),
+                             lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bth.n_tiles, bth.k_in, 3 * 128),
+                             lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((btw.n_tiles, 128), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bth.n_tiles, 128), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bsz, OH, OW), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((bsz, H, btw.out_padded), jnp.int8)
+            ],
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    import jax.numpy as jnp2
+
+    rng = np.random.default_rng(0)
+    x = jnp2.asarray(rng.integers(0, 256, (B, H, W), np.uint8))
+    bw = jnp2.asarray(bandsw)
+    bh = jnp2.asarray(bandsh)
+    cw = jnp2.asarray(ctw)
+    ch = jnp2.asarray(cth)
+
+    out = {"probe": "components", "bsz": bsz}
+    from interpolate_antialiasing_tpu.utils.timing import (
+        device_seconds_from_trace,
+    )
+
+    for variant in ("arith", "value_inter", "no_shift", "store_only"):
+        f = build(variant)
+        g = _device_ms(lambda t, f=f: f(t, bw, bh, cw, ch), iters=30)
+        float(g(x))
+        dev = device_seconds_from_trace(lambda: float(g(x)))
+        out[variant + "_ms"] = round(dev * 1e3 / 30, 4) if dev else None
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip-overlap", action="store_true")
+    p.add_argument("--skip-components", action="store_true")
+    args = p.parse_args()
+    if not args.skip_overlap:
+        print(json.dumps(probe_overlap()), flush=True)
+    if not args.skip_components:
+        print(json.dumps(probe_components()), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""One-command on-chip release gate: byte-exactness + layouts + headline.
+
+Makes the round-2 closing gate (docs/STATUS.md prose) a reproducible
+artifact: run on the real TPU chip, it sweeps
+
+  1. all 5 antialiased modes x 8 output sizes (incl. the tile-boundary
+     sizes 127/128/129 and 255/256/257) through the PUBLIC ``resize()``
+     auto route and asserts byte-identity with ``PIL.Image.resize``,
+  2. the layout matrix (CHW / HWC / bare 2-D / 4-D batched) byte-identical,
+  3. the headline batch-64 bench (profiler device time, same method as
+     bench.py),
+
+and writes ONE JSON artifact (default ``data/release_gate.json``) the
+docs can cite.  Reference analogue: the hard asserts the reference runs
+on every invocation (test.py:360-379) — here the always-on gate is one
+command instead of being embedded in every run.
+
+Run:  python benchmarks/release_gate.py [--out data/release_gate.json]
+Exit code 0 iff every check passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+MODES = ["bilinear", "bicubic", "box", "lanczos3", "hamming"]
+SIZES = [
+    (196, 320),
+    (127, 127),
+    (128, 128),
+    (129, 129),
+    (255, 257),
+    (256, 256),
+    (257, 255),
+    (500, 1000),
+]
+_PIL_RESAMPLE = {
+    "bilinear": "BILINEAR",
+    "bicubic": "BICUBIC",
+    "box": "BOX",
+    "lanczos3": "LANCZOS",
+    "hamming": "HAMMING",
+}
+
+
+def _pil_resize(arr_hwc: np.ndarray, oh: int, ow: int, mode: str) -> np.ndarray:
+    from PIL import Image
+
+    im = Image.fromarray(arr_hwc)
+    res = getattr(Image.Resampling, _PIL_RESAMPLE[mode])
+    return np.asarray(im.resize((ow, oh), res))
+
+
+def gate_byte_exact(results: dict) -> bool:
+    import jax.numpy as jnp
+
+    import interpolate_antialiasing_tpu as ia
+    from interpolate_antialiasing_tpu.utils.imageio import synthetic_image
+
+    img_chw = synthetic_image()  # uint8 [3, 438, 906]
+    img_hwc = np.moveaxis(img_chw, 0, -1)
+    x = jnp.asarray(img_chw)
+    ok = True
+    rows = []
+    for mode in MODES:
+        for oh, ow in SIZES:
+            ref = np.moveaxis(_pil_resize(img_hwc, oh, ow, mode), -1, 0)
+            got = np.asarray(ia.resize(x, (oh, ow), method=mode))
+            mx = int(np.abs(got.astype(int) - ref.astype(int)).max())
+            rows.append({"mode": mode, "size": [oh, ow], "max_abs_err": mx})
+            ok &= mx == 0
+    results["byte_exact_sweep"] = {
+        "image": "synthetic 3x438x906",
+        "n_cases": len(rows),
+        "all_exact": all(r["max_abs_err"] == 0 for r in rows),
+        "failures": [r for r in rows if r["max_abs_err"] != 0],
+    }
+    return ok
+
+
+def gate_layouts(results: dict) -> bool:
+    import jax.numpy as jnp
+
+    import interpolate_antialiasing_tpu as ia
+    from interpolate_antialiasing_tpu.utils.imageio import synthetic_image
+
+    img_chw = synthetic_image()
+    img_hwc = np.moveaxis(img_chw, 0, -1)
+    oh, ow = 196, 320
+    ref = np.moveaxis(_pil_resize(img_hwc, oh, ow, "bilinear"), -1, 0)
+    checks = {}
+    got = np.asarray(ia.resize(jnp.asarray(img_chw), (oh, ow)))
+    checks["chw"] = int(np.abs(got.astype(int) - ref.astype(int)).max())
+    got = np.asarray(
+        ia.resize(jnp.asarray(img_hwc), (oh, ow), data_format="channels_last")
+    )
+    checks["hwc"] = int(
+        np.abs(np.moveaxis(got, -1, 0).astype(int) - ref.astype(int)).max()
+    )
+    got = np.asarray(ia.resize(jnp.asarray(img_chw[0]), (oh, ow)))
+    checks["bare_2d"] = int(np.abs(got.astype(int) - ref[0].astype(int)).max())
+    x4 = jnp.asarray(np.stack([img_chw] * 4))
+    got = np.asarray(ia.resize(x4, (oh, ow)))
+    checks["batched_4d"] = int(
+        np.abs(got.astype(int) - np.stack([ref] * 4).astype(int)).max()
+    )
+    results["layout_matrix"] = checks
+    return all(v == 0 for v in checks.values())
+
+
+def gate_headline(results: dict) -> bool:
+    import jax
+    import jax.numpy as jnp
+
+    import interpolate_antialiasing_tpu as ia
+    from interpolate_antialiasing_tpu.utils.imageio import synthetic_image
+    from interpolate_antialiasing_tpu.utils.timing import device_time_per_call
+
+    batch, oh, ow = 64, 196, 320
+    img = synthetic_image()
+    rng = np.random.default_rng(0)
+    xs = np.stack([img] * batch).astype(np.uint8)
+    xs ^= rng.integers(0, 2, size=xs.shape, dtype=np.uint8)
+    x = jnp.asarray(xs)
+    f = lambda t: ia.resize(t, (oh, ow), method="bilinear")
+    sec = device_time_per_call(f, x, iters=50)
+    if sec is None:  # CPU CI — report, don't gate
+        results["headline"] = {"device_ms_per_batch": None, "gated": False}
+        return True
+    mpix = batch * 3 * oh * ow / sec / 1e6
+    results["headline"] = {
+        "workload": "u8 b64 906x438->320x196 bilinear (auto route)",
+        "device_ms_per_batch": round(sec * 1e3, 4),
+        "out_mpix_per_s": round(mpix, 1),
+        "timing": "profiler-device-time",
+    }
+    # regression gate: round-2 closed at ~9.9 Gpix/s; fail below 8.5
+    return mpix >= 8500.0
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--out", default="data/release_gate.json")
+    p.add_argument("--skip-bench", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    results = {
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    ok = gate_byte_exact(results)
+    ok &= gate_layouts(results)
+    if not args.skip_bench:
+        ok &= gate_headline(results)
+    results["passed"] = bool(ok)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

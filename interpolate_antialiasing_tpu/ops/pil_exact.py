@@ -227,7 +227,7 @@ def _fixup_int(S0, S1, S2, ct, clip=True):
 
 
 def _kernel_2pass_pil(
-    x_ref, bandw_ref, bandh_ref, ctw_ref, cth_ref, o_ref, scratch,
+    x_ref, bandw_ref, bandh_ref, ctw_ref, cth_ref, o_ref,
     *, bsz, OH, OW, starts_w, k_in_w, starts_h, k_in_h,
     clip_w=True, clip_h=True,
 ):
@@ -237,22 +237,25 @@ def _kernel_2pass_pil(
     recombine.  Round 2 ran the digits as bf16 matmuls; int8 measures
     ~2.5x the bf16 MXU rate on v5e, and the operands halve again.
 
-    Round 3: the int32 recombine epilogue is SOFTWARE-PIPELINED against the
-    matmuls — each tile's VPU recombine is emitted only after the NEXT
-    independent MXU matmul has been issued (lag-1, carried across the
-    W->H pass boundary and across images in the block), so the in-order
-    VLIW schedule can dual-issue the epilogue under MXU latency instead of
-    serialising matmul -> recombine -> matmul.  Round 2's roofline measured
-    the kernel epilogue-bound (0.406 ms actual vs 0.237 ms stubbed-epilogue
-    floor at the headline shape); the reference's analogous step is its
-    unroll/hoist epilogue micro-optimisation
-    (step_two_dot_one/aa_interpolation_impl.h:141-170)."""
+    Round 3: the uint8 intermediate lives in SSA VALUES, not a VMEM
+    scratch ref.  Round 2's roofline measured the kernel epilogue-bound
+    (0.406 ms actual vs a 0.245 ms matmuls+IO floor at the headline
+    shape, with the matmuls at ~100% of the session int8 ceiling), and a
+    probe series (benchmarks/epilogue_probe.py) showed (a) trace-order
+    software-pipelining changes nothing — Mosaic schedules the dataflow
+    graph, not the trace order — but (b) the scratch REF's conservative
+    memory-dependency ordering was serialising the VPU recombine against
+    in-flight matmuls: the value-based intermediate lets the scheduler
+    dual-issue them (0.414 -> 0.376 ms measured at headline geometry).
+    The reference's analogous step is its unroll/hoist epilogue
+    micro-optimisation (step_two_dot_one/aa_interpolation_impl.h:141-170).
+    """
 
-    def w_epilogue(S, bi, t):
-        # pass-1 epilogue -> signed u8-grid intermediate in scratch (int8:
-        # (clip8 result) - 128).  The -128 re-centering folds into the
-        # bias constant: shifting ct by 128<<PB before the arithmetic
-        # shift yields clip8(acc)-128 as clip(acc'>>PB, -128, 127) exactly
+    def w_epilogue(S, t):
+        # pass-1 epilogue -> signed u8-grid intermediate (int8: (clip8
+        # result) - 128).  The -128 re-centering folds into the bias
+        # constant: shifting ct by 128<<PB before the arithmetic shift
+        # yields clip8(acc)-128 as clip(acc'>>PB, -128, 127) exactly
         # (floor-shift composes), so the subtract runs on the [128]-wide
         # constant, not the whole tile.
         ct1 = ctw_ref[t] - jnp.int32(128 << PRECISION_BITS)
@@ -265,28 +268,7 @@ def _kernel_2pass_pil(
         v = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
         if clip_w:
             v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
-        scratch[bi, :, t * 128 : (t + 1) * 128] = v.astype(jnp.int8)
-
-    def h_epilogue(S, bi, t):
-        # pass-2 epilogue -> final u8 rows (full 128-row tile: Mosaic
-        # lowers sub-tile slices of the 1-D bias vector to an unsupported
-        # gather, so the dead pad rows are recombined and dropped at the
-        # store — they are sublane-parallel and cost nothing extra).
-        u8v = _fixup_int(
-            S[:128], S[128:256], S[256:], cth_ref[t][:, None], clip=clip_h,
-        )
-        rows = min(128, OH - t * 128)
-        o_ref[bi, t * 128 : t * 128 + rows, :OW] = (
-            u8v[:rows, :OW].astype(jnp.uint8)
-        )
-
-    pend = None  # (epilogue_fn, S, bi, t) — the lag-1 pipeline register
-
-    def emit(fn, S, bi, t):
-        nonlocal pend
-        if pend is not None:
-            pend[0](pend[1], pend[2], pend[3])
-        pend = (fn, S, bi, t)
+        return v.astype(jnp.int8)
 
     for bi in range(bsz):
         # signed pixels once per image block: x - 128 == x XOR 0x80 for u8,
@@ -295,29 +277,32 @@ def _kernel_2pass_pil(
             x_ref[bi] ^ jnp.uint8(128), jnp.int8
         )
         # pass 1 (W, Pillow's horizontal-first order)
+        wtiles = []
         for t, s in enumerate(starts_w):
             win = xs[:, s : s + k_in_w]
             S = jax.lax.dot_general(
                 win, bandw_ref[t], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [rows, 3*128]: the three digit sums side by side
-            emit(w_epilogue, S, bi, t)
-        # the H matmuls read every W tile's scratch columns, so the last W
-        # epilogue must land before pass 2 starts: drain the pipeline here.
-        pend[0](pend[1], pend[2], pend[3])
-        pend = None
+            wtiles.append(w_epilogue(S, t))
+        inter = wtiles[0] if len(wtiles) == 1 else jnp.concatenate(
+            wtiles, axis=1
+        )
         # pass 2 (H) on the quantised intermediate -> u8 output rows
         for t, s in enumerate(starts_h):
-            win = scratch[bi, s : s + k_in_h, :]
+            win = inter[s : s + k_in_h, :]
             S = jax.lax.dot_general(
                 bandh_ref[t], win, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [3*128, OWp]: digit sums stacked along rows
-            emit(h_epilogue, S, bi, t)
-        # the last H epilogue stays pending: it overlaps the next image's
-        # first W matmul (drained after the loop).
-    if pend is not None:
-        pend[0](pend[1], pend[2], pend[3])
+            u8v = _fixup_int(
+                S[:128], S[128:256], S[256:], cth_ref[t][:, None],
+                clip=clip_h,
+            )
+            rows = min(128, OH - t * 128)
+            o_ref[bi, t * 128 : t * 128 + rows, :OW] = (
+                u8v[:rows, :OW].astype(jnp.uint8)
+            )
 
 
 def _pil_vmem_bytes(H, W, OH, OW, btw, bth, bsz) -> int:
@@ -397,7 +382,8 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
         ],
         out_specs=pl.BlockSpec((bsz, oh, ow), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((bsz, H, btw.out_padded), jnp.int8)],
+        # NB: no scratch ref — the intermediate is SSA values (Mosaic
+        # allocates equivalent VMEM, still counted by _pil_vmem_bytes)
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * B * (H * btw.k_in * btw.out_padded
                                + bth.k_in * bth.out_padded * btw.out_padded),
