@@ -483,7 +483,7 @@ def pil_exact_streamed_supported(shape, oh, ow, method: str) -> bool:
 
 def _kernel_2pass_pil_streamed(
     starts_ref, cstarts_ref, x_hbm, bandw_ref, bandh_ref, ctw_ref, cth_ref,
-    o_ref, win, inter, sem, *, k_rows, chunks, k_in_w,
+    o_ref, win, sem, *, k_rows, chunks, k_in_w,
     clip_w=True, clip_h=True,
 ):
     """One (output-row tile, column chunk) per step: DMA the halo'd uint8
@@ -535,7 +535,12 @@ def _kernel_2pass_pil_streamed(
 
         @pl.when(c == ci)
         def _(tiles=tiles):
-            # pass 1 (W) for this chunk's tiles -> signed u8-grid inter
+            # pass 1 (W) for this chunk's tiles -> signed u8-grid
+            # intermediate, kept in SSA VALUES (a scratch ref's
+            # conservative memory ordering would serialize the VPU
+            # recombine against in-flight matmuls — measured on the
+            # whole-image kernel, benchmarks/epilogue_probe.py)
+            wtiles = []
             for j, (wt, off) in enumerate(tiles):
                 # bandw_ref/ctw_ref hold only this chunk's tiles (the
                 # BlockSpec streams chunk c's band slice into VMEM), so
@@ -557,11 +562,14 @@ def _kernel_2pass_pil_streamed(
                 )
                 if clip_w:
                     v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
-                inter[:, j * 128 : (j + 1) * 128] = v.astype(jnp.int8)
+                wtiles.append(v.astype(jnp.int8))
+            inter_v = wtiles[0] if len(wtiles) == 1 else jnp.concatenate(
+                wtiles, axis=1
+            )
             # pass 2 (H): this tile's digit band against the window rows
             wci = len(tiles) * 128
             S = jax.lax.dot_general(
-                bandh_ref[t], inter[:, :wci], (((0,), (0,)), ((), ())),
+                bandh_ref[t], inter_v, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [3*128, wci]
             u8v = _fixup_int(S[:128], S[128:256], S[256:],
@@ -666,7 +674,6 @@ def _pil_streamed_call(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, bth.k_in, plan.ccols), jnp.uint8),
-            pltpu.VMEM((bth.k_in, CT * 128), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
