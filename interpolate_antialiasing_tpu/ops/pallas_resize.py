@@ -957,24 +957,30 @@ def resize2d_onekernel_supported(
 
 
 def _kernel_2pass(
-    x_ref, bandw_ref, bandh_ref, o_ref, scratch,
+    x_ref, bandw_ref, bandh_ref, o_ref,
     *, bsz, H, OH, OW, starts_w, k_in_w, starts_h, k_in_h,
     precision, out_dtype, in_exact, quant_inter=False,
 ):
     for bi in range(bsz):
-        # pass 1: contract W for all H rows of image bi -> scratch
+        # pass 1: contract W for all H rows of image bi.  The intermediate
+        # stays in SSA VALUES, not a VMEM scratch ref: a ref's conservative
+        # memory-dependency ordering serializes the inter-pass VPU work
+        # (quantise/convert) against in-flight matmuls — measured on the
+        # digit kernel (benchmarks/epilogue_probe.py, 0.414 -> 0.376 ms).
+        wtiles = []
         for t, s in enumerate(starts_w):
             win = _widen(x_ref[bi, :, s : s + k_in_w])  # (H, k_in_w)
             y = _mxu_dot(
                 win, bandw_ref[t], (((1,), (0,)), ((), ())), precision, in_exact
             )
-            scratch[bi, :, t * _LANE : (t + 1) * _LANE] = (
-                _quant_u8grid(y) if quant_inter else y
-            )
+            wtiles.append(_quant_u8grid(y) if quant_inter else y)
+        inter = wtiles[0] if len(wtiles) == 1 else jnp.concatenate(
+            wtiles, axis=1
+        )
         # pass 2: contract H -> output rows (partial final tile is a static
         # masked store; o_ref is exact-shaped)
         for t, s in enumerate(starts_h):
-            win = scratch[bi, s : s + k_in_h, :]  # (k_in_h, OWP)
+            win = inter[s : s + k_in_h, :]  # (k_in_h, OWP)
             y = _mxu_dot(bandh_ref[t], win, (((0,), (0,)), ((), ())), precision,
                          b_exact_bf16=quant_inter)
             rows = min(_LANE, OH - t * _LANE)
@@ -1065,7 +1071,8 @@ def resize2d_onekernel(
         out_specs=pl.BlockSpec(
             (bsz, OH, OW), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((bsz, H, btw.out_padded), jnp.float32)],
+        # no scratch ref — the intermediate is SSA values (equivalent VMEM
+        # still counted by _onekernel_vmem)
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * btw.k_in * btw.out_padded
             + 2 * B * btw.out_padded * bth.k_in * bth.out_padded,
@@ -1276,7 +1283,7 @@ def resize2d_streamed_supported(
 
 
 def _kernel_2pass_streamed(
-    starts_ref, cstarts_ref, x_hbm, bandw_ref, bandh_ref, o_ref, win, inter,
+    starts_ref, cstarts_ref, x_hbm, bandw_ref, bandh_ref, o_ref, win,
     sem, *, k_rows, chunks, k_in_w, precision, out_dtype, inter_dtype,
     in_exact, quant_inter=False,
 ):
@@ -1323,7 +1330,11 @@ def _kernel_2pass_streamed(
 
         @pl.when(c == ci)
         def _(tiles=tiles):
-            # pass 1: contract W for this chunk's tiles -> inter columns
+            # pass 1: contract W for this chunk's tiles.  SSA-value
+            # intermediate (no scratch ref): lets the scheduler overlap
+            # the inter-pass VPU work with in-flight matmuls (see
+            # _kernel_2pass / benchmarks/epilogue_probe.py).
+            wtiles = []
             for j, (wt, off) in enumerate(tiles):
                 xw = _widen(win[slot][:, off : off + k_in_w])
                 y = _mxu_dot(
@@ -1332,11 +1343,14 @@ def _kernel_2pass_streamed(
                 )
                 if quant_inter:
                     y = _quant_u8grid(y)
-                inter[:, j * _LANE : (j + 1) * _LANE] = y.astype(inter_dtype)
+                wtiles.append(y.astype(inter_dtype))
+            inter_v = wtiles[0] if len(wtiles) == 1 else jnp.concatenate(
+                wtiles, axis=1
+            )
             # pass 2: contract the window rows with this tile's H band
             wci = len(tiles) * _LANE
             y = _mxu_dot(
-                bandh_ref[t], _widen(inter[:, :wci]), (((0,), (0,)), ((), ())),
+                bandh_ref[t], _widen(inter_v), (((0,), (0,)), ((), ())),
                 precision,
                 b_exact_bf16=quant_inter
                 or jnp.dtype(inter_dtype) == jnp.bfloat16,
@@ -1434,7 +1448,6 @@ def resize2d_streamed(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, bth.k_in, plan.ccols), x.dtype),
-            pltpu.VMEM((bth.k_in, CT * _LANE), jnp.dtype(inter_dtype)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
