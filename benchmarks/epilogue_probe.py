@@ -188,7 +188,7 @@ def probe_components():
                     v = jax.lax.shift_right_arithmetic(
                         acc, jnp.int32(PRECISION_BITS)
                     )
-                if variant == "value_inter":
+                if variant in ("value_inter", "split_h"):
                     # the intermediate stays an SSA VALUE — no scratch ref,
                     # so no conservative memory-dependency ordering can
                     # serialize epilogues against matmuls
@@ -197,6 +197,40 @@ def probe_components():
                     scratch[bi, :, t * 128 : (t + 1) * 128] = (
                         v.astype(jnp.int8)
                     )
+            if variant == "split_h":
+                # one H matmul per (row tile, W-tile column group): each
+                # depends on a SINGLE W epilogue, so H(t, j=0) can issue
+                # before W tile 2's epilogue completes — finer dataflow
+                # for the scheduler, and no lane-concat relayout.
+                # NB: first run of this variant measured 0.237 ms — an
+                # ARTIFACT: wtiles was only populated on the value_inter
+                # branch, so the whole H pass traced away.  Fixed below
+                # (wtiles is filled for split_h too).
+                for t, s in enumerate(int(v) for v in bth.starts):
+                    rows = min(128, OH - t * 128)
+                    for j, wt in enumerate(wtiles):
+                        S = jax.lax.dot_general(
+                            bh_ref[t], wt[s : s + bth.k_in, :],
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )  # [3*128, 128]
+                        acc = (
+                            jax.lax.shift_left(S[256:], jnp.int32(16))
+                            + jax.lax.shift_left(S[128:256], jnp.int32(8))
+                            + S[:128]
+                            + ch_ref[t][:, None]
+                        )
+                        u = jax.lax.shift_right_arithmetic(
+                            acc, jnp.int32(PRECISION_BITS)
+                        )
+                        lo = j * 128
+                        hi = min((j + 1) * 128, OW)
+                        if lo >= OW:
+                            continue
+                        o_ref[bi, t * 128 : t * 128 + rows, lo:hi] = (
+                            u[:rows, : hi - lo].astype(jnp.uint8)
+                        )
+                continue
             if variant == "value_inter":
                 inter = jnp.concatenate(wtiles, axis=1)
             for t, s in enumerate(int(v) for v in bth.starts):
@@ -268,7 +302,8 @@ def probe_components():
         device_seconds_from_trace,
     )
 
-    for variant in ("arith", "value_inter", "no_shift", "store_only"):
+    for variant in ("arith", "value_inter", "split_h", "no_shift",
+                    "store_only"):
         f = build(variant)
         g = _device_ms(lambda t, f=f: f(t, bw, bh, cw, ch), iters=30)
         float(g(x))
@@ -277,11 +312,207 @@ def probe_components():
     return out
 
 
+def probe_schedule():
+    """Full bit-equivalent kernels at headline geometry, differing only in
+    TRACE STRUCTURE, to find how much of the VPU recombine Mosaic's
+    scheduler will hide under MXU work:
+
+      * ``inorder``  — per image: W matmuls + epilogues (SSA values),
+        lane-concat, H matmuls (the production value_inter structure).
+      * ``split_h``  — no concat; one H matmul per (H tile, W tile), each
+        depending on a single W epilogue.
+      * ``lag1``     — software pipeline: image bi's W matmul SUMS are
+        issued, then image bi-1's epilogues + H pass are emitted — so
+        VPU recombine of bi-1 has bi's matmuls in flight by construction.
+      * ``all_w``    — every image's W pass first, then every image's H
+        pass (maximal scheduling window; intermediates all live).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from interpolate_antialiasing_tpu.ops.pil_exact import (
+        PRECISION_BITS,
+        _digit_tiles,
+        _pil_vmem_bytes,
+        _PIL_VMEM_BUDGET,
+    )
+
+    B, H, W, OH, OW = 192, 438, 906, 196, 320
+    btw, bandsw, ctw = _digit_tiles(W, OW, "bilinear")
+    bth, bandsh, cth = _digit_tiles(H, OH, "bilinear")
+    bsz = 1
+    for cand in range(8, 0, -1):
+        if B % cand == 0 and _pil_vmem_bytes(
+            H, W, OH, OW, btw, bth, cand
+        ) <= _PIL_VMEM_BUDGET:
+            bsz = cand
+            break
+    starts_w = tuple(int(v) for v in btw.starts)
+    starts_h = tuple(int(v) for v in bth.starts)
+
+    def w_matmuls(x_ref, bw_ref, bi):
+        xs = jax.lax.bitcast_convert_type(x_ref[bi] ^ jnp.uint8(128), jnp.int8)
+        return [
+            jax.lax.dot_general(
+                xs[:, s : s + btw.k_in], bw_ref[t], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            for t, s in enumerate(starts_w)
+        ]
+
+    def w_epilogue(S, cw_ref, t):
+        ct1 = cw_ref[t] - jnp.int32(128 << PRECISION_BITS)
+        acc = (
+            jax.lax.shift_left(S[:, 256:], jnp.int32(16))
+            + jax.lax.shift_left(S[:, 128:256], jnp.int32(8))
+            + S[:, :128]
+            + ct1[None, :]
+        )
+        return jax.lax.shift_right_arithmetic(
+            acc, jnp.int32(PRECISION_BITS)
+        ).astype(jnp.int8)
+
+    def h_pass_concat(wtiles, bh_ref, ch_ref, o_ref, bi):
+        inter = jnp.concatenate(wtiles, axis=1)
+        for t, s in enumerate(starts_h):
+            S = jax.lax.dot_general(
+                bh_ref[t], inter[s : s + bth.k_in, :],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = (
+                jax.lax.shift_left(S[256:], jnp.int32(16))
+                + jax.lax.shift_left(S[128:256], jnp.int32(8))
+                + S[:128]
+                + ch_ref[t][:, None]
+            )
+            u = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
+            rows = min(128, OH - t * 128)
+            o_ref[bi, t * 128 : t * 128 + rows, :OW] = (
+                u[:rows, :OW].astype(jnp.uint8)
+            )
+
+    def h_pass_split(wtiles, bh_ref, ch_ref, o_ref, bi):
+        for t, s in enumerate(starts_h):
+            rows = min(128, OH - t * 128)
+            for j, wt in enumerate(wtiles):
+                lo = j * 128
+                if lo >= OW:
+                    continue
+                hi = min(lo + 128, OW)
+                S = jax.lax.dot_general(
+                    bh_ref[t], wt[s : s + bth.k_in, :],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc = (
+                    jax.lax.shift_left(S[256:], jnp.int32(16))
+                    + jax.lax.shift_left(S[128:256], jnp.int32(8))
+                    + S[:128]
+                    + ch_ref[t][:, None]
+                )
+                u = jax.lax.shift_right_arithmetic(
+                    acc, jnp.int32(PRECISION_BITS)
+                )
+                o_ref[bi, t * 128 : t * 128 + rows, lo:hi] = (
+                    u[:rows, : hi - lo].astype(jnp.uint8)
+                )
+
+    def kern(x_ref, bw_ref, bh_ref, cw_ref, ch_ref, o_ref, *, variant):
+        if variant == "lag1":
+            pend = None
+            for bi in range(bsz):
+                Ss = w_matmuls(x_ref, bw_ref, bi)
+                if pend is not None:
+                    pi, pS = pend
+                    wt = [w_epilogue(S, cw_ref, t) for t, S in enumerate(pS)]
+                    h_pass_concat(wt, bh_ref, ch_ref, o_ref, pi)
+                pend = (bi, Ss)
+            pi, pS = pend
+            wt = [w_epilogue(S, cw_ref, t) for t, S in enumerate(pS)]
+            h_pass_concat(wt, bh_ref, ch_ref, o_ref, pi)
+            return
+        if variant == "all_w":
+            per_img = []
+            for bi in range(bsz):
+                Ss = w_matmuls(x_ref, bw_ref, bi)
+                per_img.append(
+                    [w_epilogue(S, cw_ref, t) for t, S in enumerate(Ss)]
+                )
+            for bi in range(bsz):
+                h_pass_concat(per_img[bi], bh_ref, ch_ref, o_ref, bi)
+            return
+        for bi in range(bsz):
+            Ss = w_matmuls(x_ref, bw_ref, bi)
+            wt = [w_epilogue(S, cw_ref, t) for t, S in enumerate(Ss)]
+            if variant == "split_h":
+                h_pass_split(wt, bh_ref, ch_ref, o_ref, bi)
+            else:
+                h_pass_concat(wt, bh_ref, ch_ref, o_ref, bi)
+
+    def build(variant):
+        return pl.pallas_call(
+            functools.partial(kern, variant=variant),
+            out_shape=jax.ShapeDtypeStruct((B, OH, OW), jnp.uint8),
+            grid=(B // bsz,),
+            in_specs=[
+                pl.BlockSpec((bsz, H, W), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((btw.n_tiles, btw.k_in, 3 * 128),
+                             lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bth.n_tiles, bth.k_in, 3 * 128),
+                             lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((btw.n_tiles, 128), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bth.n_tiles, 128), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bsz, OH, OW), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp2
+
+    x = jnp2.asarray(rng.integers(0, 256, (B, H, W), np.uint8))
+    bw = jnp2.asarray(bandsw)
+    bh = jnp2.asarray(bandsh)
+    cw = jnp2.asarray(ctw)
+    ch = jnp2.asarray(cth)
+
+    from interpolate_antialiasing_tpu.utils.timing import (
+        device_seconds_from_trace,
+    )
+
+    out = {"probe": "schedule", "bsz": bsz}
+    ref = None
+    for variant in ("inorder", "split_h", "lag1", "all_w"):
+        f = build(variant)
+        y = np.asarray(f(x, bw, bh, cw, ch))
+        if ref is None:
+            ref = y
+        else:
+            assert np.array_equal(ref, y), f"{variant} output differs"
+        g = _device_ms(lambda t, f=f: f(t, bw, bh, cw, ch), iters=30)
+        float(g(x))
+        dev = device_seconds_from_trace(lambda: float(g(x)))
+        out[variant + "_ms"] = round(dev * 1e3 / 30, 4) if dev else None
+        print(json.dumps({variant: out[variant + "_ms"]}), flush=True)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--skip-overlap", action="store_true")
     p.add_argument("--skip-components", action="store_true")
+    p.add_argument("--schedule", action="store_true")
     args = p.parse_args()
+    if args.schedule:
+        print(json.dumps(probe_schedule()), flush=True)
+        return
     if not args.skip_overlap:
         print(json.dumps(probe_overlap()), flush=True)
     if not args.skip_components:

@@ -132,7 +132,10 @@ def gate_headline(results: dict) -> bool:
     if sec is None:  # CPU CI — report, don't gate
         results["headline"] = {"device_ms_per_batch": None, "gated": False}
         return True
-    mpix = batch * 3 * oh * ow / sec / 1e6
+    # output pixels = batch * oh * ow (bench.py's convention — channels
+    # are not output pixels; an earlier revision counted them, inflating
+    # the reported rate 3x)
+    mpix = batch * oh * ow / sec / 1e6
     results["headline"] = {
         "workload": "u8 b64 906x438->320x196 bilinear (auto route)",
         "device_ms_per_batch": round(sec * 1e3, 4),
