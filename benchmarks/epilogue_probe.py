@@ -421,6 +421,24 @@ def probe_schedule():
                 )
 
     def kern(x_ref, bw_ref, bh_ref, cw_ref, ch_ref, o_ref, *, variant):
+        if variant.startswith("wlag"):
+            # image-granularity software pipeline with lag L: W(bi) then
+            # H(bi-L) — mixes MXU-heavy H matmuls into the W phase where
+            # the recombine epilogues need hiding (all_w instead forms
+            # two phases, leaving the W phase epilogue-dense)
+            L = int(variant.rsplit("_", 1)[1])
+            done = []
+            for bi in range(bsz):
+                Ss = w_matmuls(x_ref, bw_ref, bi)
+                done.append(
+                    [w_epilogue(S, cw_ref, t) for t, S in enumerate(Ss)]
+                )
+                if bi >= L:
+                    h_pass_concat(done[bi - L], bh_ref, ch_ref, o_ref,
+                                  bi - L)
+            for bi in range(max(bsz - L, 0), bsz):
+                h_pass_concat(done[bi], bh_ref, ch_ref, o_ref, bi)
+            return
         if variant == "lag1":
             pend = None
             for bi in range(bsz):
@@ -489,7 +507,7 @@ def probe_schedule():
 
     out = {"probe": "schedule", "bsz": bsz}
     ref = None
-    for variant in ("inorder", "split_h", "lag1", "all_w"):
+    for variant in ("all_w", "wlag_2", "wlag_4", "wlag_6"):
         f = build(variant)
         y = np.asarray(f(x, bw, bh, cw, ch))
         if ref is None:

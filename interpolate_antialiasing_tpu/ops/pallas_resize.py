@@ -961,6 +961,7 @@ def _kernel_2pass(
     *, bsz, H, OH, OW, starts_w, k_in_w, starts_h, k_in_h,
     precision, out_dtype, in_exact, quant_inter=False,
 ):
+    per_img = []
     for bi in range(bsz):
         # pass 1: contract W for all H rows of image bi.  The intermediate
         # stays in SSA VALUES, not a VMEM scratch ref: a ref's conservative
@@ -974,11 +975,18 @@ def _kernel_2pass(
                 win, bandw_ref[t], (((1,), (0,)), ((), ())), precision, in_exact
             )
             wtiles.append(_quant_u8grid(y) if quant_inter else y)
+        per_img.append(wtiles)
+    # pass 2: contract H -> output rows.  All images' W passes are traced
+    # before any H pass — the all-W-first structure gives the scheduler
+    # the largest window of independent cross-image work to hide the
+    # inter-pass VPU epilogues under (fastest of the bit-equivalent trace
+    # structures probed on the digit kernel, epilogue_probe schedule).
+    # Partial final tiles are static masked stores; o_ref is exact-shaped.
+    for bi in range(bsz):
+        wtiles = per_img[bi]
         inter = wtiles[0] if len(wtiles) == 1 else jnp.concatenate(
             wtiles, axis=1
         )
-        # pass 2: contract H -> output rows (partial final tile is a static
-        # masked store; o_ref is exact-shaped)
         for t, s in enumerate(starts_h):
             win = inter[s : s + k_in_h, :]  # (k_in_h, OWP)
             y = _mxu_dot(bandh_ref[t], win, (((0,), (0,)), ((), ())), precision,
@@ -1348,6 +1356,8 @@ def _kernel_2pass_streamed(
                 wtiles, axis=1
             )
             # pass 2: contract the window rows with this tile's H band
+            # (concat, not per-tile split — split-H measured slower on
+            # the whole-image digit kernel, epilogue_probe schedule)
             wci = len(tiles) * _LANE
             y = _mxu_dot(
                 bandh_ref[t], _widen(inter_v), (((0,), (0,)), ((), ())),

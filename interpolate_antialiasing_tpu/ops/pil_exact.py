@@ -238,15 +238,20 @@ def _kernel_2pass_pil(
     ~2.5x the bf16 MXU rate on v5e, and the operands halve again.
 
     Round 3: the uint8 intermediate lives in SSA VALUES, not a VMEM
-    scratch ref.  Round 2's roofline measured the kernel epilogue-bound
-    (0.406 ms actual vs a 0.245 ms matmuls+IO floor at the headline
-    shape, with the matmuls at ~100% of the session int8 ceiling), and a
-    probe series (benchmarks/epilogue_probe.py) showed (a) trace-order
-    software-pipelining changes nothing — Mosaic schedules the dataflow
-    graph, not the trace order — but (b) the scratch REF's conservative
-    memory-dependency ordering was serialising the VPU recombine against
-    in-flight matmuls: the value-based intermediate lets the scheduler
-    dual-issue them (0.414 -> 0.376 ms measured at headline geometry).
+    scratch ref, and the trace runs ALL images' W passes before ANY H
+    pass.  Round 2's roofline measured the kernel epilogue-bound (0.406
+    ms actual vs a 0.245 ms matmuls+IO floor at the headline shape, with
+    the matmuls at ~100% of the session int8 ceiling), and a probe
+    series (benchmarks/epilogue_probe.py) showed (a) trace-order
+    software-pipelining within an image changes nothing — Mosaic
+    schedules the dataflow graph, not the trace order (lag1 0.373 vs
+    inorder 0.376); (b) the scratch REF's conservative memory-dependency
+    ordering was serialising the VPU recombine against in-flight
+    matmuls — SSA values freed that (0.414 -> 0.376 ms); and (c) of the
+    bit-equivalent trace structures probed (inorder / split-H per column
+    group 0.394 / lag1 / all-W-then-all-H), the all-W-first structure
+    measures fastest (0.354 ms): it gives the scheduler the largest
+    window of independent cross-image work to hide the recombine under.
     The reference's analogous step is its unroll/hoist epilogue
     micro-optimisation (step_two_dot_one/aa_interpolation_impl.h:141-170).
     """
@@ -270,6 +275,7 @@ def _kernel_2pass_pil(
             v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
         return v.astype(jnp.int8)
 
+    per_img = []
     for bi in range(bsz):
         # signed pixels once per image block: x - 128 == x XOR 0x80 for u8,
         # so it's a single VPU op + bitcast (no i32 widening round-trip)
@@ -285,10 +291,14 @@ def _kernel_2pass_pil(
                 preferred_element_type=jnp.int32,
             )  # [rows, 3*128]: the three digit sums side by side
             wtiles.append(w_epilogue(S, t))
-        inter = wtiles[0] if len(wtiles) == 1 else jnp.concatenate(
-            wtiles, axis=1
+        per_img.append(wtiles)
+    # pass 2 (H) on the quantised intermediates -> u8 output rows; all
+    # images' W passes are traced BEFORE any H pass (all-W-first measures
+    # fastest of the probed bit-equivalent structures — see docstring)
+    for bi in range(bsz):
+        inter = per_img[bi][0] if len(per_img[bi]) == 1 else jnp.concatenate(
+            per_img[bi], axis=1
         )
-        # pass 2 (H) on the quantised intermediate -> u8 output rows
         for t, s in enumerate(starts_h):
             win = inter[s : s + k_in_h, :]
             S = jax.lax.dot_general(
@@ -563,10 +573,12 @@ def _kernel_2pass_pil_streamed(
                 if clip_w:
                     v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
                 wtiles.append(v.astype(jnp.int8))
+            # pass 2 (H): this tile's digit band against the window rows
+            # (concat, not per-tile split — the split-H structure measured
+            # SLOWER on the whole-image kernel, epilogue_probe schedule)
             inter_v = wtiles[0] if len(wtiles) == 1 else jnp.concatenate(
                 wtiles, axis=1
             )
-            # pass 2 (H): this tile's digit band against the window rows
             wci = len(tiles) * 128
             S = jax.lax.dot_general(
                 bandh_ref[t], inter_v, (((0,), (0,)), ((), ())),
