@@ -58,10 +58,20 @@ def _pick_method(spec: AxisSpec, backend: str, on_tpu: bool) -> str:
     if backend == "xla" or not on_tpu:
         # Dense is exact and fast for small tables; compact gather otherwise.
         return "dense" if spec.in_size * spec.out_size <= (1 << 22) else "gather"
-    # auto on TPU
-    if spec.in_size >= 512 and spec.out_size >= 128:
+    # auto on TPU — thresholds derived from the on-chip crossover sweep
+    # (benchmarks/router_sweep.py, artifact data/router_sweep.json, table in
+    # docs/BENCHMARKS.md).  Measured picture: the banded Pallas pass wins
+    # upsamples (its window ~= taps only, vs a dense [out, in] table that
+    # grows with out) and very large inputs (>= 4096: dense tables blow the
+    # matmul, gather scatters HBM); mid-size SHRINKS (512..2048 in) are won
+    # by one dense MXU matmul — the band window covers nearly the whole
+    # input there (k_in ~ in/n_tiles), so banding saves no MACs and only
+    # adds per-tile overhead (dense beat pallas 3.5x at 512->128).
+    if spec.out_size >= spec.in_size:  # upsample (or same-size)
+        return "pallas" if spec.in_size >= 256 else "dense"
+    if spec.in_size >= 4096:
         return "pallas"
-    return "dense" if spec.in_size * spec.out_size <= (1 << 22) else "gather"
+    return "dense" if spec.in_size * spec.out_size <= (1 << 22) else "pallas"
 
 
 def _on_tpu() -> bool:
