@@ -24,6 +24,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .filters import get_filter
 
@@ -101,6 +102,8 @@ def crop_and_resize(
     out_hw: tuple[int, int],
     method: str = "bilinear",
     antialias: bool = True,
+    max_box_frac: float = 1.0,
+    use_windowed: bool | None = None,
 ) -> jax.Array:
     """Antialiased crop+resize (the AA analogue of ``tf.image.crop_and_resize``).
 
@@ -112,6 +115,18 @@ def crop_and_resize(
 
     Fully jit-compatible for traced boxes: shapes depend only on
     (H, W, OH, OW); box values only flow into the weight matrices.
+
+    * ``max_box_frac``: static bound on the box span per axis as a fraction
+      of the image (scalar or ``(frac_h, frac_w)``).  The TPU windowed fast
+      path (crop_pallas) sizes its static input windows from it — a tighter
+      bound is proportionally faster.  Boxes exceeding the bound silently
+      renormalise over the truncated window; leave at 1.0 unless the box
+      sampler guarantees the bound (``random_resized_crop`` derives it from
+      its own ``scale``/``ratio`` arguments).
+    * ``use_windowed``: force the windowed Pallas route on/off (default:
+      auto — on-TPU uint8 non-negative-filter calls use it; float inputs
+      and negative-lobe filters keep this dense differentiable
+      formulation).
 
     Memory envelope (transient HBM, float32): the per-image dense matrices
     cost ``4*N*(OH*H + OW*W)`` bytes and the inter-pass intermediate
@@ -127,6 +142,24 @@ def crop_and_resize(
         raise ValueError("boxes must be [N, 4] (y0, x0, y1, x1)")
     if not antialias:
         _warn_classic_border_divergence()
+    from .resize import _on_tpu
+
+    if use_windowed is None:
+        use_windowed = _on_tpu()
+    if use_windowed:
+        # TPU fast path: per-tile static-max-extent windows instead of the
+        # dense [OH, H]/[OW, W] matrices — the box POSITION is traced but
+        # its SIZE is bounded (max_box_frac), so each 128-row output tile
+        # touches a static-K input window (crop_pallas).  uint8 +
+        # non-negative filters only; everything else falls through to the
+        # dense differentiable formulation below.
+        from .crop_pallas import crop_and_resize_windowed, crop_windowed_supported
+
+        if crop_windowed_supported(x, out_hw, method, antialias, max_box_frac):
+            return crop_and_resize_windowed(
+                x, boxes.astype(jnp.float32), out_hw, method=method,
+                antialias=antialias, max_box_frac=max_box_frac,
+            )
     N, C, H, W = x.shape
     oh, ow = int(out_hw[0]), int(out_hw[1])
     in_dtype = x.dtype
@@ -230,4 +263,12 @@ def random_resized_crop(
     boxes = jnp.stack(
         [oy / H, ox / W, (oy + ch) / H, (ox + cw) / W], axis=-1
     )
-    return crop_and_resize(x, boxes, out_hw, method=method, antialias=antialias)
+    # Static per-axis span bound from the sampler's own (scale, ratio)
+    # arguments — shrinks the windowed fast path's K proportionally:
+    # ch <= sqrt(scale_max*H*W/ratio_min), cw <= sqrt(scale_max*H*W*ratio_max).
+    frac_h = min(1.0, float(np.sqrt(scale[1] * (W / H) / ratio[0])))
+    frac_w = min(1.0, float(np.sqrt(scale[1] * (H / W) * ratio[1])))
+    return crop_and_resize(
+        x, boxes, out_hw, method=method, antialias=antialias,
+        max_box_frac=(frac_h, frac_w),
+    )

@@ -168,3 +168,138 @@ def test_classic_path_warns_once_on_border_divergence():
         crop_and_resize(x, full, (8, 8), antialias=True)   # AA path: silent
     msgs = [str(w.message) for w in rec if "replicate" in str(w.message)]
     assert len(msgs) == 1, msgs
+
+
+# ---------------------------------------------------------------------------
+# Windowed (banded traced-window) Pallas route — crop_pallas.py
+# ---------------------------------------------------------------------------
+
+
+def _crop_oracle_u8(img, box, oh, ow, method="bilinear", antialias=True):
+    """f64 dense-matrix oracle WITH the quantised-u8 intermediate (the
+    convention both fast paths share, cf. pallas_resize._quant_u8grid)."""
+    from interpolate_antialiasing_tpu.ops.crop import _axis_matrix
+
+    H, W = img.shape[-2:]
+    Wh = np.asarray(
+        _axis_matrix(box[0] * H, box[2] * H, H, oh, method, antialias), np.float64
+    )
+    Ww = np.asarray(
+        _axis_matrix(box[1] * W, box[3] * W, W, ow, method, antialias), np.float64
+    )
+    t = np.einsum("oi,cij->coj", Wh, np.asarray(img, np.float64))
+    t = np.clip(np.floor(t + 0.5), 0, 255)
+    y = np.einsum("uj,coj->cou", Ww, t)
+    return np.clip(np.floor(y + 0.5), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("method", ["bilinear", "box", "hamming"])
+def test_crop_windowed_matches_oracle(rng, method):
+    from interpolate_antialiasing_tpu.ops.crop_pallas import (
+        crop_and_resize_windowed,
+    )
+
+    x = jnp.asarray(rng.integers(0, 256, (4, 3, 96, 160), dtype=np.uint8))
+    boxes = jnp.asarray(
+        [
+            [0.0, 0.0, 1.0, 1.0],  # full image
+            [0.1, 0.2, 0.8, 0.9],
+            [0.0, 0.5, 0.3, 1.0],  # touches two borders
+            [0.47, 0.55, 0.4701, 0.5502],  # degenerate sub-pixel box
+        ],
+        jnp.float32,
+    )
+    yw = np.asarray(crop_and_resize_windowed(x, boxes, (48, 64), method=method))
+    for n in range(4):
+        ref = _crop_oracle_u8(
+            np.asarray(x[n]), np.asarray(boxes[n]), 48, 64, method
+        )
+        err = np.abs(yw[n].astype(int) - ref.astype(int)).max()
+        assert err <= 1, (method, n, err)  # split-bf16 rounding gate
+
+
+def test_crop_windowed_matches_dense_route(rng):
+    from interpolate_antialiasing_tpu.ops.crop_pallas import (
+        crop_and_resize_windowed,
+    )
+
+    x = jnp.asarray(rng.integers(0, 256, (3, 2, 80, 144), dtype=np.uint8))
+    boxes = jnp.asarray(rng.uniform(0, 1, (3, 4)), jnp.float32)
+    boxes = jnp.stack(
+        [
+            boxes[:, 0] * 0.4,
+            boxes[:, 1] * 0.4,
+            boxes[:, 0] * 0.4 + 0.3 + boxes[:, 2] * 0.3,
+            boxes[:, 1] * 0.4 + 0.3 + boxes[:, 3] * 0.3,
+        ],
+        axis=-1,
+    )
+    yd = np.asarray(
+        crop_and_resize(x, boxes, (32, 48), use_windowed=False), int
+    )
+    yw = np.asarray(crop_and_resize_windowed(x, boxes, (32, 48)), int)
+    assert np.abs(yd - yw).max() <= 1  # summation-order / split rounding
+
+
+def test_crop_windowed_max_box_frac_bound(rng):
+    """A tighter static span bound shrinks K but must not change values
+    for boxes inside the bound."""
+    from interpolate_antialiasing_tpu.ops.crop_pallas import (
+        crop_and_resize_windowed, _geom,
+    )
+
+    x = jnp.asarray(rng.integers(0, 256, (2, 1, 128, 256), dtype=np.uint8))
+    boxes = jnp.asarray(
+        [[0.2, 0.3, 0.55, 0.65], [0.0, 0.0, 0.4, 0.4]], jnp.float32
+    )  # spans <= 0.4
+    y1 = np.asarray(crop_and_resize_windowed(x, boxes, (32, 32)), int)
+    y2 = np.asarray(
+        crop_and_resize_windowed(x, boxes, (32, 32), max_box_frac=0.45), int
+    )
+    assert np.abs(y1 - y2).max() <= 1
+    # at a geometry where the whole-input cap doesn't bite, the bound
+    # actually shrinks the window
+    gk_full = _geom(512, 1024, 128, 128, 1.0, True, 1.0)[2]
+    gk_tight = _geom(512, 1024, 128, 128, 1.0, True, 0.45)[2]
+    assert gk_tight < gk_full
+
+
+def test_crop_windowed_admission():
+    from interpolate_antialiasing_tpu.ops.crop_pallas import (
+        crop_windowed_supported,
+    )
+
+    u8_4k = jax.ShapeDtypeStruct((8, 3, 2160, 3840), jnp.uint8)
+    assert crop_windowed_supported(u8_4k, (224, 224), "bilinear", True)
+    # negative-lobe filters keep the unquantised dense path
+    assert not crop_windowed_supported(u8_4k, (224, 224), "bicubic", True)
+    # float inputs keep the dense differentiable path
+    f32 = jax.ShapeDtypeStruct((8, 3, 2160, 3840), jnp.float32)
+    assert not crop_windowed_supported(f32, (224, 224), "bilinear", True)
+    # tiny shapes: window >= whole input, no MAC saving
+    small = jax.ShapeDtypeStruct((2, 3, 96, 160), jnp.uint8)
+    assert not crop_windowed_supported(small, (48, 64), "bilinear", True)
+
+
+def test_random_resized_crop_windowed_consistent(rng):
+    """RRC routes through the windowed path on TPU with its derived
+    per-axis bound; forcing both routes on the same boxes must agree."""
+    x = jnp.asarray(rng.integers(0, 256, (4, 3, 120, 200), dtype=np.uint8))
+    key = jax.random.PRNGKey(3)
+    # reproduce RRC's sampling, then push the same boxes down both routes
+    N, C, H, W = x.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = jax.random.uniform(k1, (N,), minval=0.2, maxval=0.9) * (H * W)
+    r = jnp.exp(jax.random.uniform(k2, (N,), minval=np.log(0.8), maxval=np.log(1.25)))
+    cw = jnp.minimum(jnp.sqrt(area * r), float(W))
+    ch = jnp.minimum(jnp.sqrt(area / r), float(H))
+    oy = jax.random.uniform(k3, (N,)) * (H - ch)
+    ox = jax.random.uniform(k4, (N,)) * (W - cw)
+    boxes = jnp.stack([oy / H, ox / W, (oy + ch) / H, (ox + cw) / W], axis=-1)
+    from interpolate_antialiasing_tpu.ops.crop_pallas import (
+        crop_and_resize_windowed,
+    )
+
+    yd = np.asarray(crop_and_resize(x, boxes, (32, 32), use_windowed=False), int)
+    yw = np.asarray(crop_and_resize_windowed(x, boxes, (32, 32)), int)
+    assert np.abs(yd - yw).max() <= 1
