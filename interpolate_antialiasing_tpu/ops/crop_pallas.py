@@ -24,11 +24,17 @@ Pipeline (uint8 NCHW, non-negative filters):
   pass 2 (W, last axis):  ``y[n,c,m,t*128+u] = inter[n,c,m,s_w[n,t] :
       s_w[n,t]+K_w] @ band_w[n,t]`` — stored as uint8 (PIL round/clip).
 
-Both passes run the split-bf16 contraction (weights hi+lo, pixels
-exact), matching the dense path's precision.  Admission: uint8 input +
-non-negative filter (quantised intermediate is only safe there — same
-derivation as crop.py's ``quant_inter``); negative-lobe filters and
-float inputs keep the dense differentiable path.
+Two contraction precisions, both inside the +-1-of-f64-oracle gate:
+the default quantises the traced weights to a fixed-point grid and runs
+the library's int8 digit machinery (ops/pil_exact.py) on traced bands —
+two balanced base-256 digits at 2^14 scale when the tap count allows
+(see _digit_plan), Pillow's own 3x2^22 otherwise; ``precision="split"``
+keeps the split-bf16 float contraction (weights hi+lo, pixels exact),
+bit-compatible with the dense route.  Admission: uint8 input +
+non-negative filter (the quantised intermediate and the clip-free digit
+epilogue are only safe there — same derivation as crop.py's
+``quant_inter``); negative-lobe filters and float inputs keep the dense
+differentiable path.
 
 Reference analogue: the reference's kernels only resize whole images
 (crop+resize is the downstream torchvision composition, cf. SURVEY);
@@ -176,8 +182,121 @@ def _windowed_band(
 
 
 # ---------------------------------------------------------------------------
+# Traced digit quantisation (the pil_exact int8 machinery, per-image)
+# ---------------------------------------------------------------------------
+
+
+def _digitize_band(band, pb=None, ndig=3):
+    """Quantise a traced f32 band to a fixed-point convention and split
+    into balanced base-256 int8 digits (pil_exact._split_digits, in jnp
+    on traced values).
+
+    ``band [N, nt, k, 128]`` f32 (rows renormalised, non-negative) ->
+    ``(dig [N, nt, k, ndig*128] int8, ct [N, nt, 128] int32)`` with
+    ``K = sum_i d_i * 256^i`` and ``ct = 128*sum_k K + 2^(pb-1)`` (the
+    signed-pixel bias + rounding constant, cf. pil_exact._digit_tiles).
+
+    ``pb``/``ndig``: Pillow's own convention is pb=22 / 3 digits.  The
+    crop gate is +-1 of the f64 oracle (not bit-exactness), which a
+    TWO-digit pb=14 grid already clears when the tap count is small
+    enough — ``|err| <= ntaps * 0.5 * 255 / 2^14 < 0.45`` for ntaps <=
+    57 — at 2/3 the MXU work (callers gate via :func:`_digit_plan`).
+    Row sums stay within ``2^pb + ntaps/2`` of the exact scale (f32
+    renorm error ~2^-20 relative), so the clip-free epilogue argument of
+    pil_exact._needs_clip holds for the non-negative filters this route
+    admits.
+    """
+    from .pil_exact import PRECISION_BITS
+
+    if pb is None:
+        pb = PRECISION_BITS
+    scaled = band * np.float32(1 << pb)
+    # round half away from zero; non-negative here, but keep the general
+    # form so the convention matches _int_matrix exactly
+    K = jnp.where(scaled < 0, scaled - 0.5, scaled + 0.5).astype(jnp.int32)
+    digs = []
+    rem = K
+    for i in range(ndig):
+        if i == ndig - 1:
+            d = rem  # top digit: remaining headroom (|d| <= 127 by pb)
+        else:
+            d = ((rem + 128) % 256) - 128
+        digs.append(d.astype(jnp.int8))
+        # jnp.int32 literal: under enable_x64 a bare python 8 becomes int64
+        # and lax.shift_* rejects the mixed dtypes
+        rem = jax.lax.shift_right_arithmetic(rem - d, jnp.int32(8))
+    dig = jnp.concatenate(digs, axis=-1)  # [N, nt, k, ndig*128]
+    # dtype= pins int32 under enable_x64 (jnp.sum would promote to int64)
+    ct = 128 * jnp.sum(K, axis=2, dtype=jnp.int32) + jnp.int32(1 << (pb - 1))
+    return dig, ct
+
+
+def _digit_plan(in_size, out_size, support, antialias, frac):
+    """(pb, ndig) for one crop axis: two digits at pb=14 when the worst-
+    case tap count keeps the quantisation error inside the +-1 gate
+    (see _digitize_band), else Pillow's 3-digit pb=22."""
+    scale_max = frac * in_size / out_size
+    widen = max(scale_max, 1.0) if antialias else 1.0
+    ntaps = 2.0 * support * widen + 2.0
+    return (14, 2) if ntaps <= 57 else (22, 3)
+
+
+# ---------------------------------------------------------------------------
 # Kernel bodies (per-image dynamic bands)
 # ---------------------------------------------------------------------------
+
+
+def _kernel_crop_mid_dig(
+    starts_ref, x_ref, band_ref, ct_ref, o_ref, *, k_in, in_align, pb, ndig
+):
+    """Digit pass 1: out[1,1,LANE,WT] int8 (signed u8-grid intermediate)
+    = recombine(dig[n,t]^T @ (x[n,c,s:s+K,wt] - 128))."""
+    n = pl.program_id(0)
+    t = pl.program_id(3)
+    s = pl.multiple_of(starts_ref[n, t], in_align)
+    xs = jax.lax.bitcast_convert_type(
+        x_ref[0, 0, pl.ds(s, k_in), :] ^ jnp.uint8(128), jnp.int8
+    )
+    S = jax.lax.dot_general(
+        band_ref[0, t], xs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [ndig*128, wt]: digit sums stacked along rows
+    # interpret-mode dot_general yields int64 under enable_x64 despite
+    # preferred_element_type; force int32 (free on TPU)
+    S = S.astype(jnp.int32)
+    # -128 recentering folds into the bias (cf. pil_exact w_epilogue)
+    acc = ct_ref[0, t][:, None] - jnp.int32(128 << pb)
+    for i in range(ndig):
+        acc = acc + jax.lax.shift_left(
+            S[i * 128 : (i + 1) * 128], jnp.int32(8 * i)
+        )
+    v = jax.lax.shift_right_arithmetic(acc, jnp.int32(pb))
+    # clip-free: non-negative renormalised rows (admission) keep the
+    # accumulator provably in range (pil_exact._needs_clip argument)
+    o_ref[0, 0, :, :] = v.astype(jnp.int8)
+
+
+def _kernel_crop_last_dig(
+    starts_ref, x_ref, band_ref, ct_ref, o_ref, *, k_in, pb, ndig
+):
+    """Digit pass 2: out[1,1,MT,LANE] u8 = recombine(inter[n,c,:,s:s+K] @
+    dig[n,t]) — the intermediate is already signed int8."""
+    n = pl.program_id(0)
+    t = pl.program_id(3)
+    s = pl.multiple_of(starts_ref[n, t], _LANE)
+    win = x_ref[0, 0, :, pl.ds(s, k_in)]  # int8 [mt, k]
+    S = jax.lax.dot_general(
+        win, band_ref[0, t], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [mt, ndig*128]
+    S = S.astype(jnp.int32)  # interpret + enable_x64 (see pass 1)
+    acc = ct_ref[0, t][None, :] + S[:, :128]
+    for i in range(1, ndig):
+        acc = acc + jax.lax.shift_left(
+            S[:, i * 128 : (i + 1) * 128], jnp.int32(8 * i)
+        )
+    v = jax.lax.shift_right_arithmetic(acc, jnp.int32(pb))
+    o_ref[0, 0, :, :] = v.astype(jnp.uint8)
 
 
 def _kernel_crop_mid(
@@ -294,7 +413,7 @@ def crop_and_resize_windowed(
     method: str = "bilinear",
     antialias: bool = True,
     max_box_frac: float = 1.0,
-    precision="split",
+    precision="pil_int8",
 ) -> jax.Array:
     """Windowed-band crop+resize: uint8 [N,C,H,W] + boxes [N,4] -> uint8
     [N,C,OH,OW].  Semantics identical to crop.crop_and_resize's dense path
@@ -304,6 +423,19 @@ def crop_and_resize_windowed(
     ``max_box_frac`` bounds the box span per axis (1.0 = whole image); a
     tighter static bound shrinks the window K proportionally.  Boxes larger
     than the bound renormalise over the truncated window (don't do that).
+
+    ``precision``:
+      * ``"pil_int8"`` (default) — the traced weights are quantised to
+        Pillow's fixed-point convention (coeff * 2^22, round half away
+        from zero) and contracted as three balanced base-256 int8 digit
+        planes per pass: the library's flagship digit machinery
+        (ops/pil_exact.py) on traced bands.  int8 MXU runs ~2.5x the bf16
+        rate and the bands cross HBM at 1 B/coeff; output is
+        deterministic fixed-point, within the same +-1-of-f64-oracle gate
+        as the split path.
+      * ``"split"`` — split-bf16 float contraction (hi+lo weight digits,
+        bf16-exact pixels), bit-compatible with the dense route's
+        convention.
     """
     N, C, H, W = x.shape
     oh, ow = int(out_hw[0]), int(out_hw[1])
@@ -318,6 +450,10 @@ def crop_and_resize_windowed(
     nt_h, nt_w = -(-oh // _LANE), -(-ow // _LANE)
     out_pad_h, out_pad_w = nt_h * _LANE, nt_w * _LANE
 
+    digit = precision == "pil_int8"
+    fh, fw = _fracs(max_box_frac)
+    pb_h, ndig_h = _digit_plan(Hp, oh, support, antialias, fh)
+    pb_w, ndig_w = _digit_plan(W2, ow, support, antialias, fw)
     b = boxes.astype(jnp.float32)
     if Hp > H:  # rare (H % 8 != 0): the only case that copies the input
         x = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H), (0, 0)))
@@ -325,15 +461,16 @@ def crop_and_resize_windowed(
         b[:, 0] * H, b[:, 2] * H, H, oh, k_h, Hp, align_h, mode, antialias
     )
 
-    # ---- pass 1: H (middle axis), quantised uint8 out -------------------
+    # ---- pass 1: H (middle axis) -> quantised intermediate --------------
     # x is used UNPADDED along W: wt is a 128-multiple and the last column
     # block may read past W (Pallas boundary block) — those columns carry
     # zero weight in the pass-2 band (`pos <= W-1`), so the garbage never
     # reaches the output.  _window_k's alignment guarantee keeps the row
     # windows inside [0, Hp) with no row pad for any H % 8 == 0.
     ibytes = 1
-    band_h_bytes = nt_h * k_h * _LANE * 4
-    wt = min(1024, max(_LANE, (_VMEM_BUDGET // 2 - band_h_bytes)
+    band_el = 1 if digit else 4
+    band_h_bytes = nt_h * k_h * (ndig_h * _LANE if digit else _LANE) * band_el
+    wt = min(1280, max(_LANE, (_VMEM_BUDGET // 2 - band_h_bytes)
                        // max(Hp * ibytes + _LANE, 1)))
     wt = max(_LANE, (wt // _LANE) * _LANE)
     # prefer a wt that divides W2 (no boundary block, inter width == W2)
@@ -344,23 +481,41 @@ def crop_and_resize_windowed(
         wt = d
     n_wchunks = -(-W2 // wt)
     grid1 = (N, C, n_wchunks, nt_h)
-    inter = pl.pallas_call(
-        functools.partial(
+    if digit:
+        band_h, ct_h = _digitize_band(band_h, pb=pb_h, ndig=ndig_h)
+        kern1 = functools.partial(
+            _kernel_crop_mid_dig, k_in=k_h, in_align=align_h,
+            pb=pb_h, ndig=ndig_h,
+        )
+        inter_dtype = jnp.int8  # signed u8-grid (x - 128) convention
+        ops1 = (starts_h, x, band_h, ct_h)
+        in_specs1 = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, Hp, wt), lambda n, c, j, t: (n, c, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nt_h, k_h, ndig_h * _LANE),
+                lambda n, c, j, t: (n, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nt_h, _LANE), lambda n, c, j, t: (n, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    else:
+        kern1 = functools.partial(
             _kernel_crop_mid,
             k_in=k_h,
             precision=precision,
             out_dtype=jnp.uint8,
             in_align=align_h,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (N, C, out_pad_h, n_wchunks * wt), jnp.uint8
-        ),
-        out_specs=pl.BlockSpec(
-            (1, 1, _LANE, wt), lambda n, c, j, t: (n, c, t, j),
-            memory_space=pltpu.VMEM,
-        ),
-        grid=grid1,
-        in_specs=[
+        )
+        inter_dtype = jnp.uint8
+        ops1 = (starts_h, x, band_h)
+        in_specs1 = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, 1, Hp, wt), lambda n, c, j, t: (n, c, 0, j),
@@ -370,44 +525,73 @@ def crop_and_resize_windowed(
                 (1, nt_h, k_h, _LANE), lambda n, c, j, t: (n, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ],
+        ]
+    inter = pl.pallas_call(
+        kern1,
+        out_shape=jax.ShapeDtypeStruct(
+            (N, C, out_pad_h, n_wchunks * wt), inter_dtype
+        ),
+        out_specs=pl.BlockSpec(
+            (1, 1, _LANE, wt), lambda n, c, j, t: (n, c, t, j),
+            memory_space=pltpu.VMEM,
+        ),
+        grid=grid1,
+        in_specs=in_specs1,
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * C * out_pad_h * k_h * n_wchunks * wt,
+            flops=2 * N * C * out_pad_h * k_h * n_wchunks * wt
+            * (ndig_h if digit else 1),
             bytes_accessed=N * C * Hp * W
             + N * C * out_pad_h * n_wchunks * wt
-            + band_h.size * 4,
+            + N * band_h_bytes,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(starts_h, x, band_h)
+    )(*ops1)
 
     # ---- pass 2: W (last axis), uint8 out --------------------------------
     in_pad2 = n_wchunks * wt  # inter's emitted width; >= W2, 128-multiple
     starts_w, band_w = _windowed_band(
         b[:, 1] * W, b[:, 3] * W, W, ow, k_w, in_pad2, _LANE, mode, antialias
     )
-    band_w_bytes = nt_w * k_w * _LANE * 4
+    band_w_bytes = nt_w * k_w * (ndig_w * _LANE if digit else _LANE) * band_el
     mt = min(512, max(_LANE, (_VMEM_BUDGET // 2 - band_w_bytes)
                       // max(in_pad2 * ibytes + _LANE, 1)))
     mt = max(_LANE, (mt // _LANE) * _LANE)
     while out_pad_h % mt:  # mt | out_pad_h (both 128-multiples)
         mt -= _LANE
     grid2 = (N, C, out_pad_h // mt, nt_w)
-    y = pl.pallas_call(
-        functools.partial(
+    if digit:
+        band_w, ct_w = _digitize_band(band_w, pb=pb_w, ndig=ndig_w)
+        kern2 = functools.partial(
+            _kernel_crop_last_dig, k_in=k_w, pb=pb_w, ndig=ndig_w
+        )
+        ops2 = (starts_w, inter, band_w, ct_w)
+        in_specs2 = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, mt, in_pad2), lambda n, c, i, t: (n, c, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nt_w, k_w, ndig_w * _LANE),
+                lambda n, c, i, t: (n, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nt_w, _LANE), lambda n, c, i, t: (n, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    else:
+        kern2 = functools.partial(
             _kernel_crop_last,
             k_in=k_w,
             precision=precision,
             out_dtype=jnp.uint8,
             in_exact=True,  # quantised-u8 intermediate is bf16-exact
-        ),
-        out_shape=jax.ShapeDtypeStruct((N, C, out_pad_h, out_pad_w), jnp.uint8),
-        out_specs=pl.BlockSpec(
-            (1, 1, mt, _LANE), lambda n, c, i, t: (n, c, i, t),
-            memory_space=pltpu.VMEM,
-        ),
-        grid=grid2,
-        in_specs=[
+        )
+        ops2 = (starts_w, inter, band_w)
+        in_specs2 = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, 1, mt, in_pad2), lambda n, c, i, t: (n, c, i, 0),
@@ -417,14 +601,24 @@ def crop_and_resize_windowed(
                 (1, nt_w, k_w, _LANE), lambda n, c, i, t: (n, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ],
+        ]
+    y = pl.pallas_call(
+        kern2,
+        out_shape=jax.ShapeDtypeStruct((N, C, out_pad_h, out_pad_w), jnp.uint8),
+        out_specs=pl.BlockSpec(
+            (1, 1, mt, _LANE), lambda n, c, i, t: (n, c, i, t),
+            memory_space=pltpu.VMEM,
+        ),
+        grid=grid2,
+        in_specs=in_specs2,
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * C * out_pad_h * k_w * out_pad_w,
+            flops=2 * N * C * out_pad_h * k_w * out_pad_w
+            * (ndig_w if digit else 1),
             bytes_accessed=N * C * out_pad_h * in_pad2
             + N * C * out_pad_h * out_pad_w
-            + band_w.size * 4,
+            + N * band_w_bytes,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(starts_w, inter, band_w)
+    )(*ops2)
     return y[:, :, :oh, :ow]

@@ -412,17 +412,39 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
 # ---------------------------------------------------------------------------
 
 
-def _pil_streamed_vmem(ccols, tiles_per_chunk, btw, bth) -> int:
+def _pil_streamed_vmem(ccols, tiles_per_chunk, btw, bth, bsz=1,
+                       single_chunk=False) -> int:
     k_rows = bth.k_in
+    # the W band block is double-buffered only while it actually streams
+    # (n_chunks > 1); with a single chunk its index map is constant and
+    # Mosaic DMAs it once (same as the whole-image kernel's resident bands)
+    wband_bufs = 1 if single_chunk else 2
     return (
-        2 * k_rows * ccols  # u8 window, double buffered
-        + k_rows * tiles_per_chunk * 128  # int8 intermediate
-        # W band streams per chunk (double-buffered blocks); H band resident
-        + 2 * tiles_per_chunk * btw.k_in * 3 * 128
-        + bth.n_tiles * k_rows * 3 * 128
+        2 * bsz * k_rows * ccols  # u8 window, double buffered
+        + bsz * k_rows * tiles_per_chunk * 128  # int8 intermediate
+        + wband_bufs * tiles_per_chunk * btw.k_in * 3 * 128
+        + bth.n_tiles * k_rows * 3 * 128  # H band resident
         + (2 * tiles_per_chunk + bth.n_tiles) * 128 * 4  # bias constants
-        + 2 * 128 * tiles_per_chunk * 128  # u8 out blocks
+        + 2 * bsz * 128 * tiles_per_chunk * 128  # u8 out blocks
     )
+
+
+def _pil_stream_bsz(B: int, plan, btw, bth) -> int:
+    """Images per grid step.  The on-chip step-count sweep (round 3)
+    measured ~1.1 us of fixed cost per grid step (window-DMA setup + grid
+    bookkeeping) on top of near-floor compute, so batching images into one
+    step is nearly-free throughput: pick the biggest divisor of B whose
+    windows still fit.  Planned against 5/6 of the kernel budget (vs the
+    chunk plan's 2/3): the bsz decision has its own retry rung — a Mosaic
+    VMEM rejection falls back to bsz=1 before shrinking the chunk plan."""
+    budget = _PIL_VMEM_BUDGET * 5 // 6
+    for bsz in (4, 3, 2):
+        if B % bsz == 0 and _pil_streamed_vmem(
+            plan.ccols, plan.tiles_per_chunk, btw, bth, bsz,
+            single_chunk=plan.n_chunks == 1,
+        ) <= budget:
+            return bsz
+    return 1
 
 
 def _pil_stream_plan(W, btw, bth, max_tiles: int | None = None):
@@ -493,19 +515,24 @@ def pil_exact_streamed_supported(shape, oh, ow, method: str) -> bool:
 
 def _kernel_2pass_pil_streamed(
     starts_ref, cstarts_ref, x_hbm, bandw_ref, bandh_ref, ctw_ref, cth_ref,
-    o_ref, win, sem, *, k_rows, chunks, k_in_w,
+    o_ref, win, sem, *, k_rows, chunks, k_in_w, bsz=1,
     clip_w=True, clip_h=True,
 ):
-    """One (output-row tile, column chunk) per step: DMA the halo'd uint8
-    row-and-column window, run both Pillow fixed-point passes on it with
-    int8 digit matmuls (cf. _kernel_2pass_pil), store the chunk's exact
-    uint8 output block.  A single whole-row chunk is the common case;
-    very wide images split the W pass across column chunks exactly like
-    pallas_resize._kernel_2pass_streamed."""
+    """One (bsz-image block, output-row tile, column chunk) per step: DMA
+    the halo'd uint8 row-and-column window for ``bsz`` images at once, run
+    both Pillow fixed-point passes with int8 digit matmuls (cf.
+    _kernel_2pass_pil), store the chunk's exact uint8 output blocks.  A
+    single whole-row chunk is the common case; very wide images split the
+    W pass across column chunks exactly like
+    pallas_resize._kernel_2pass_streamed.  ``bsz > 1`` amortises the
+    measured ~1.1 us/step fixed cost (round-3 step-count sweep) and gives
+    the scheduler independent cross-image work to hide the recombines
+    under — the same all-W-then-all-H structure as the whole-image
+    kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b = pl.program_id(0)
+    b = pl.program_id(0)  # block of bsz images
     t = pl.program_id(1)
     c = pl.program_id(2)
     B = jnp.int32(pl.num_programs(0))
@@ -516,9 +543,9 @@ def _kernel_2pass_pil_streamed(
     def dma(slot, b_i, t_i, c_i):
         return pltpu.make_async_copy(
             x_hbm.at[
-                b_i,
+                pl.ds(b_i * jnp.int32(bsz), bsz),
                 pl.ds(pl.multiple_of(starts_ref[t_i], 8), k_rows),
-                pl.ds(pl.multiple_of(cstarts_ref[c_i], 128), win.shape[2]),
+                pl.ds(pl.multiple_of(cstarts_ref[c_i], 128), win.shape[3]),
             ],
             win.at[slot],
             sem.at[slot],
@@ -540,53 +567,60 @@ def _kernel_2pass_pil_streamed(
     slot = jax.lax.rem(step, jnp.int32(2))
     dma(slot, b, t, c).wait()
 
-    xs = jax.lax.bitcast_convert_type(win[slot] ^ jnp.uint8(128), jnp.int8)
     for ci, tiles in enumerate(chunks):
 
         @pl.when(c == ci)
         def _(tiles=tiles):
-            # pass 1 (W) for this chunk's tiles -> signed u8-grid
-            # intermediate, kept in SSA VALUES (a scratch ref's
+            # pass 1 (W) for this chunk's tiles, ALL images first -> signed
+            # u8-grid intermediates, kept in SSA VALUES (a scratch ref's
             # conservative memory ordering would serialize the VPU
             # recombine against in-flight matmuls — measured on the
             # whole-image kernel, benchmarks/epilogue_probe.py)
-            wtiles = []
-            for j, (wt, off) in enumerate(tiles):
-                # bandw_ref/ctw_ref hold only this chunk's tiles (the
-                # BlockSpec streams chunk c's band slice into VMEM), so
-                # they are indexed by the LOCAL tile position j.
-                S = jax.lax.dot_general(
-                    xs[:, off : off + k_in_w], bandw_ref[j],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                ct1 = ctw_ref[wt] - jnp.int32(128 << PRECISION_BITS)
-                acc = (
-                    jax.lax.shift_left(S[:, 256:], jnp.int32(16))
-                    + jax.lax.shift_left(S[:, 128:256], jnp.int32(8))
-                    + S[:, :128]
-                    + ct1[None, :]
-                )
-                v = jax.lax.shift_right_arithmetic(
-                    acc, jnp.int32(PRECISION_BITS)
-                )
-                if clip_w:
-                    v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
-                wtiles.append(v.astype(jnp.int8))
-            # pass 2 (H): this tile's digit band against the window rows
-            # (concat, not per-tile split — the split-H structure measured
-            # SLOWER on the whole-image kernel, epilogue_probe schedule)
-            inter_v = wtiles[0] if len(wtiles) == 1 else jnp.concatenate(
-                wtiles, axis=1
-            )
             wci = len(tiles) * 128
-            S = jax.lax.dot_general(
-                bandh_ref[t], inter_v, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # [3*128, wci]
-            u8v = _fixup_int(S[:128], S[128:256], S[256:],
-                             cth_ref[t][:, None], clip=clip_h)
-            o_ref[0, :, :wci] = u8v.astype(jnp.uint8)
+            inters = []
+            for bi in range(bsz):
+                xs = jax.lax.bitcast_convert_type(
+                    win[slot, bi] ^ jnp.uint8(128), jnp.int8
+                )
+                wtiles = []
+                for j, (wt, off) in enumerate(tiles):
+                    # bandw_ref/ctw_ref hold only this chunk's tiles (the
+                    # BlockSpec streams chunk c's band slice into VMEM), so
+                    # they are indexed by the LOCAL tile position j.
+                    S = jax.lax.dot_general(
+                        xs[:, off : off + k_in_w], bandw_ref[j],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    ct1 = ctw_ref[wt] - jnp.int32(128 << PRECISION_BITS)
+                    acc = (
+                        jax.lax.shift_left(S[:, 256:], jnp.int32(16))
+                        + jax.lax.shift_left(S[:, 128:256], jnp.int32(8))
+                        + S[:, :128]
+                        + ct1[None, :]
+                    )
+                    v = jax.lax.shift_right_arithmetic(
+                        acc, jnp.int32(PRECISION_BITS)
+                    )
+                    if clip_w:
+                        v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
+                    wtiles.append(v.astype(jnp.int8))
+                # concat, not per-tile split — the split-H structure
+                # measured SLOWER on the whole-image kernel
+                inters.append(
+                    wtiles[0] if len(wtiles) == 1 else jnp.concatenate(
+                        wtiles, axis=1
+                    )
+                )
+            # pass 2 (H) on the quantised intermediates, per image
+            for bi in range(bsz):
+                S = jax.lax.dot_general(
+                    bandh_ref[t], inters[bi], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # [3*128, wci]
+                u8v = _fixup_int(S[:128], S[128:256], S[256:],
+                                 cth_ref[t][:, None], clip=clip_h)
+                o_ref[bi, :, :wci] = u8v.astype(jnp.uint8)
 
 
 def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
@@ -614,13 +648,17 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
             f"(W={W}, k_rows={bth.k_in})"
         )
     tracing = isinstance(x3, jax.core.Tracer)
+    bsz = _pil_stream_bsz(x3.shape[0], plan, btw, bth)
     while True:
         try:
             return _pil_streamed_call(
                 x3, H, W, oh, ow, method, plan,
-                btw, bandsw, ctw, bth, bandsh, cth,
+                btw, bandsw, ctw, bth, bandsh, cth, bsz=bsz,
             )
         except Exception as e:  # Mosaic VMEM admission (eager path only)
+            if not tracing and "vmem" in str(e).lower() and bsz > 1:
+                bsz = 1  # first rung: drop image batching, keep the plan
+                continue
             retryable = (
                 not tracing
                 and "vmem" in str(e).lower()
@@ -636,7 +674,8 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
 
 
 def _pil_streamed_call(
-    x3, H, W, oh, ow, method, plan, btw, bandsw, ctw, bth, bandsh, cth
+    x3, H, W, oh, ow, method, plan, btw, bandsw, ctw, bth, bandsh, cth,
+    bsz=None,
 ):
     from functools import partial as _partial
 
@@ -646,6 +685,10 @@ def _pil_streamed_call(
     B = x3.shape[0]
     T = bth.n_tiles
     C, CT = plan.n_chunks, plan.tiles_per_chunk
+    if bsz is None:
+        bsz = _pil_stream_bsz(B, plan, btw, bth)
+    if B % bsz:
+        bsz = 1
     if C * CT > btw.n_tiles:  # pad the band array to whole chunks
         padt = C * CT - btw.n_tiles
         bandsw = np.concatenate(
@@ -655,12 +698,13 @@ def _pil_streamed_call(
         k_rows=bth.k_in,
         chunks=plan.chunks,
         k_in_w=btw.k_in,
+        bsz=bsz,
         clip_w=_needs_clip(W, ow, method),
         clip_h=_needs_clip(H, oh, method),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, T, C),
+        grid=(B // bsz, T, C),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec((CT, btw.k_in, 3 * 128),
@@ -680,12 +724,12 @@ def _pil_streamed_call(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 128, CT * 128),
+            (bsz, 128, CT * 128),
             lambda b, t, c, starts, cstarts: (b, t, c),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, bth.k_in, plan.ccols), jnp.uint8),
+            pltpu.VMEM((2, bsz, bth.k_in, plan.ccols), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
