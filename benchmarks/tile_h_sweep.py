@@ -1,0 +1,110 @@
+"""On-chip sweep of the digit kernels' H-pass tile width (tile_h).
+
+Ground truth for ops/pil_exact._pick_tile_h's MXU cost model: runs the
+REAL whole-image and streamed digit kernels at forced tile_h values and
+reports profiler device time + byte-exactness vs Pillow.  The isolated
+matmul probes (benchmarks/mxu_geometry.py) motivate the knob; this sweep
+validates it end to end, where per-tile fixed costs, DMA halo re-reads
+(streamed: k_rows tracks tile_h) and epilogue overlap all participate.
+
+Run on the real chip:  python benchmarks/tile_h_sweep.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def _pillow_ref(x, oh, ow):
+    from PIL import Image
+
+    return np.stack([
+        np.asarray(Image.fromarray(p).resize((ow, oh), Image.BILINEAR))
+        for p in x
+    ])
+
+
+def sweep(name, make_call, x, oh, ow, tiles, check_exact=True):
+    import jax.numpy as jnp
+
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+    from interpolate_antialiasing_tpu.utils.timing import device_time_per_call
+
+    ref = _pillow_ref(np.asarray(x), oh, ow) if check_exact else None
+    xd = jnp.asarray(x)
+    for t in tiles:
+        pe._pick_tile_h.cache_clear()
+        pe._digit_tiles.cache_clear()
+        import os
+
+        if t == 0:
+            os.environ.pop("IA_TPU_PIL_TILE_H", None)  # model's own pick
+        else:
+            os.environ["IA_TPU_PIL_TILE_H"] = str(t)
+        try:
+            f = make_call(oh, ow)
+            y = f(xd)
+            y.block_until_ready()
+            err = (
+                int(np.abs(np.asarray(y).astype(int) - ref.astype(int)).max())
+                if check_exact else -1
+            )
+            ms = device_time_per_call(f, xd, iters=8) * 1e3
+            picked = pe._pick_tile_h(
+                x.shape[-2], oh, "bilinear",
+                align=8 if name.startswith("4k") else 1)
+            print(json.dumps({
+                "workload": name, "tile_h": t or f"auto({picked})",
+                "ms": round(ms, 4), "max_abs_err": err,
+            }), flush=True)
+        except Exception as e:  # Mosaic admission / compile failures count
+            print(json.dumps({
+                "workload": name, "tile_h": t,
+                "error": str(e).splitlines()[0][:120],
+            }), flush=True)
+    import os
+
+    os.environ.pop("IA_TPU_PIL_TILE_H", None)
+    pe._pick_tile_h.cache_clear()
+    pe._digit_tiles.cache_clear()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+
+    rng = np.random.default_rng(0)
+
+    # headline: batch-64 3x438x906 -> 196x320 == 192 planes (whole-image)
+    x = rng.integers(0, 256, (192, 438, 906), dtype=np.uint8)
+    tiles = ([0, 128, 112, 56] if args.quick
+             else [0, 128, 120, 112, 104, 96, 80, 64, 56, 48, 40, 32])
+
+    def make_whole(oh, ow):
+        return jax.jit(
+            lambda a: pe._resize_pil_exact_pallas(a, oh, ow, "bilinear"))
+
+    sweep("headline", make_whole, x, 196, 320, tiles)
+
+    # 4K -> HD, b8 RGB frames == 24 planes (streamed)
+    x4 = rng.integers(0, 256, (24, 2160, 3840), dtype=np.uint8)
+
+    def make_stream(oh, ow):
+        return jax.jit(
+            lambda a: pe._resize_pil_exact_streamed(a, oh, ow, "bilinear"))
+
+    sweep("4k_stream", make_stream, x4, 720, 1280,
+          [0, 128, 112, 96, 64] if args.quick else tiles,
+          check_exact=not args.quick)
+
+
+if __name__ == "__main__":
+    main()

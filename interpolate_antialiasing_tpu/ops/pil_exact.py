@@ -103,7 +103,8 @@ def _split_digits(K: np.ndarray) -> np.ndarray:
 
 
 @cache
-def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1):
+def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1,
+                 tile: int = 128):
     """Tile-compacted digit bands + rounding/bias constants (Pallas path).
 
     One window layout (starts, k_in) derived from the full coefficient
@@ -120,33 +121,41 @@ def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1):
     kernel's exact blocks); ``align=8`` produces 8-aligned window starts
     against the 8-row-padded input (the streamed kernel's DMA contract,
     cf. pallas_resize._tiles_stream_cached).
+
+    ``tile`` is the output-tile width (digit planes at lane offsets 0,
+    ``tile``, ``2*tile``).  The H pass uses sub-128 tiles when that lands
+    the contraction width ``k_in`` on a smaller multiple of the MXU's
+    128-deep K pass (the round-3 geometry study: int8 matmul time goes as
+    ``ceil(K/128)``, so e.g. K=287 -> 384 effective pays 33% more MXU
+    time than a 112-wide tile's K<=256); digit slicing there is along
+    result *sublanes*, where non-128 offsets are free.
     """
     from .weights import banded_tiles_from_matrix
 
     cap = in_size if align == 1 else -(-in_size // align) * align
     K = _int_matrix(in_size, out_size, mode)
     base = banded_tiles_from_matrix(
-        K.astype(np.float64), tile=128, dtype=np.float32, align=align,
+        K.astype(np.float64), tile=tile, dtype=np.float32, align=align,
         in_cap=cap,
     )
     D = _split_digits(K)  # [3, out, in] int8
     n_tiles, k_in = base.n_tiles, base.k_in
-    # digit planes concatenated along the output (lane) dim: one [k_in, 384]
-    # int8 matmul per tile instead of three [k_in, 128] ones — the MXU
-    # amortises the weight load over 3x the output columns.
-    bands = np.zeros((n_tiles, k_in, 3 * 128), dtype=np.int8)
-    ct = np.zeros((n_tiles, 128), dtype=np.int64)
+    # digit planes concatenated along the output (lane) dim: one
+    # [k_in, 3*tile] int8 matmul per tile instead of three [k_in, tile]
+    # ones — the MXU amortises the weight load over 3x the output columns.
+    bands = np.zeros((n_tiles, k_in, 3 * tile), dtype=np.int8)
+    ct = np.zeros((n_tiles, tile), dtype=np.int64)
     colsum = K.astype(np.int64).sum(axis=1)  # [out]
     for t in range(n_tiles):
         s = int(base.starts[t])
-        o1 = min((t + 1) * 128, out_size)
-        rows = D[:, t * 128 : o1, :]
+        o1 = min((t + 1) * tile, out_size)
+        rows = D[:, t * tile : o1, :]
         seg = rows[:, :, s : min(s + k_in, in_size)]
         for d in range(3):
-            bands[t, : seg.shape[2], d * 128 : d * 128 + seg.shape[1]] = (
+            bands[t, : seg.shape[2], d * tile : d * tile + seg.shape[1]] = (
                 np.swapaxes(seg[d], 0, 1)
             )
-        ct[t, : o1 - t * 128] = 128 * colsum[t * 128 : o1]
+        ct[t, : o1 - t * tile] = 128 * colsum[t * tile : o1]
     ct += 1 << (PRECISION_BITS - 1)
     assert np.abs(ct).max() < 2**31
     # NB: return *numpy* arrays, never jax arrays: this function is
@@ -155,6 +164,60 @@ def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1):
     # into every later trace (UnexpectedTracerError on the second jit;
     # caught by the sustained benchmark sweep, round 2).  Callers convert.
     return base, bands, ct.astype(np.int32)
+
+
+@cache
+def _pick_tile_h(in_size: int, out_size: int, mode: str,
+                 align: int = 1) -> int:
+    """Output-tile width for the H pass, chosen by the MXU cost model.
+
+    The round-3 on-chip geometry study measured int8 matmul time as
+    ``M_eff * ceil(K/128)*128 * N_eff`` (K consumed in 128-deep passes;
+    see benchmarks/mxu_geometry.py and docs/BENCHMARKS.md).  The H-pass
+    matmul per tile is ``[k_in, 3*T] x [k_in, OWp]`` with K = k_in ~
+    T*scale + ntaps, so shrinking T below 128 can drop ``ceil(K/128)``
+    by a whole MXU pass while the digit-recombine slices stay on result
+    sublanes (8-granular, free).  Cost = sum over tiles of
+    ceil(k_in/128)*128 * roundup(3T, _N_QUANT) plus a per-tile fixed
+    cost (the measured ~1 us/grid-step analogue at matmul scale).
+    """
+    import os
+
+    forced = os.environ.get("IA_TPU_PIL_TILE_H")  # bench/experiment knob
+    if forced:
+        return int(forced)
+    K = _int_matrix(in_size, out_size, mode)
+    nz = K != 0
+    lo = np.argmax(nz, axis=1)
+    hi = in_size - np.argmax(nz[:, ::-1], axis=1)  # exclusive
+    best_t, best_cost = 128, None
+    # streamed (align=8) output blocks are BlockSpec-indexed at t*tile_h, so
+    # the u8 (32, 128) memory tiling demands 32-multiples; the whole-image
+    # kernel stores *inside* one block (masked sublane stores), so any
+    # 8-multiple works there.
+    cands = range(128, 55, -8) if align == 1 else (128, 96, 64, 32)
+    for t in cands:
+        n_tiles = -(-out_size // t)
+        spans = []
+        for ti in range(n_tiles):
+            o1 = min((ti + 1) * t, out_size)
+            l = (int(lo[ti * t : o1].min()) // align) * align
+            spans.append(int(hi[ti * t : o1].max()) - l)
+        k_in = min(_round_up(max(spans), max(align, 1)), in_size)
+        k_eff = _round_up(k_in, 128)
+        n_eff = _round_up(3 * t, _N_QUANT)
+        cost = n_tiles * (k_eff * n_eff + _TILE_FIXED_COST)
+        if best_cost is None or cost < best_cost:
+            best_t, best_cost = t, cost
+    return best_t
+
+
+# MXU cost-model constants (re-derive with benchmarks/mxu_geometry.py if
+# the hardware generation changes): result-N granularity and the per-tile
+# fixed cost expressed in cost-model units (k_eff*n_eff of a ~K=128,N=128
+# matmul — conservative; biases ties toward fewer, wider tiles).
+_N_QUANT = 8
+_TILE_FIXED_COST = 128 * 128
 
 
 @cache
@@ -229,7 +292,7 @@ def _fixup_int(S0, S1, S2, ct, clip=True):
 def _kernel_2pass_pil(
     x_ref, bandw_ref, bandh_ref, ctw_ref, cth_ref, o_ref,
     *, bsz, OH, OW, starts_w, k_in_w, starts_h, k_in_h,
-    clip_w=True, clip_h=True,
+    clip_w=True, clip_h=True, tile_h=128,
 ):
     """Both Pillow fixed-point passes (uint8 intermediate included) in one
     kernel: per axis, 3 native int8 MXU digit matmuls (signed pixels
@@ -299,25 +362,29 @@ def _kernel_2pass_pil(
         inter = per_img[bi][0] if len(per_img[bi]) == 1 else jnp.concatenate(
             per_img[bi], axis=1
         )
+        th = tile_h
         for t, s in enumerate(starts_h):
             win = inter[s : s + k_in_h, :]
             S = jax.lax.dot_general(
                 bandh_ref[t], win, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )  # [3*128, OWp]: digit sums stacked along rows
+            )  # [3*tile_h, OWp]: digit sums stacked along result SUBLANES
+            # (sub-128 tile_h keeps these slices 8-granular and free while
+            # dropping a whole 128-deep MXU K pass — see _pick_tile_h)
             u8v = _fixup_int(
-                S[:128], S[128:256], S[256:], cth_ref[t][:, None],
+                S[:th], S[th : 2 * th], S[2 * th :], cth_ref[t][:, None],
                 clip=clip_h,
             )
-            rows = min(128, OH - t * 128)
-            o_ref[bi, t * 128 : t * 128 + rows, :OW] = (
+            rows = min(th, OH - t * th)
+            o_ref[bi, t * th : t * th + rows, :OW] = (
                 u8v[:rows, :OW].astype(jnp.uint8)
             )
 
 
 def _pil_vmem_bytes(H, W, OH, OW, btw, bth, bsz) -> int:
     up = _round_up
-    band = 3 * (btw.n_tiles * btw.k_in + bth.n_tiles * bth.k_in) * 128
+    band = 3 * (btw.n_tiles * btw.k_in * btw.tile
+                + bth.n_tiles * bth.k_in * bth.tile)
     per_img = (
         up(H, 32) * up(W, 128) * 2  # u8 in, double buffered
         + up(H, 32) * btw.out_padded  # int8 intermediate scratch
@@ -337,7 +404,7 @@ def pil_exact_pallas_supported(shape, oh, ow, method: str) -> bool:
         return False
     H, W = shape[-2], shape[-1]
     btw, _, _ = _digit_tiles(W, ow, method)
-    bth, _, _ = _digit_tiles(H, oh, method)
+    bth, _, _ = _digit_tiles(H, oh, method, tile=_pick_tile_h(H, oh, method))
     if btw.k_in > W or bth.k_in > H:
         return False
     if btw.n_tiles > _PIL_MAX_TILES or bth.n_tiles > _PIL_MAX_TILES:
@@ -353,8 +420,9 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, W = x3.shape
+    tile_h = _pick_tile_h(H, oh, method)
     btw, bandsw, ctw = _digit_tiles(W, ow, method)
-    bth, bandsh, cth = _digit_tiles(H, oh, method)
+    bth, bandsh, cth = _digit_tiles(H, oh, method, tile=tile_h)
     bsz = 1
     for cand in range(min(8, B), 0, -1):
         if B % cand == 0 and _pil_vmem_bytes(
@@ -373,6 +441,7 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
         k_in_h=bth.k_in,
         clip_w=_needs_clip(W, ow, method),
         clip_h=_needs_clip(H, oh, method),
+        tile_h=tile_h,
     )
     return pl.pallas_call(
         kern,
@@ -383,11 +452,11 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((btw.n_tiles, btw.k_in, 3 * 128),
                          lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bth.n_tiles, bth.k_in, 3 * 128),
+            pl.BlockSpec((bth.n_tiles, bth.k_in, 3 * tile_h),
                          lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((btw.n_tiles, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bth.n_tiles, 128), lambda b: (0, 0),
+            pl.BlockSpec((bth.n_tiles, tile_h), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bsz, oh, ow), lambda b: (b, 0, 0),
@@ -423,9 +492,9 @@ def _pil_streamed_vmem(ccols, tiles_per_chunk, btw, bth, bsz=1,
         2 * bsz * k_rows * ccols  # u8 window, double buffered
         + bsz * k_rows * tiles_per_chunk * 128  # int8 intermediate
         + wband_bufs * tiles_per_chunk * btw.k_in * 3 * 128
-        + bth.n_tiles * k_rows * 3 * 128  # H band resident
-        + (2 * tiles_per_chunk + bth.n_tiles) * 128 * 4  # bias constants
-        + 2 * bsz * 128 * tiles_per_chunk * 128  # u8 out blocks
+        + bth.n_tiles * k_rows * 3 * bth.tile  # H band resident
+        + (2 * tiles_per_chunk * 128 + bth.n_tiles * bth.tile) * 4  # biases
+        + 2 * bsz * bth.tile * tiles_per_chunk * 128  # u8 out blocks
     )
 
 
@@ -505,7 +574,8 @@ def pil_exact_streamed_supported(shape, oh, ow, method: str) -> bool:
         return False
     H, W = shape[-2], shape[-1]
     btw, _, _ = _digit_tiles(W, ow, method)
-    bth, _, _ = _digit_tiles(H, oh, method, align=8)
+    bth, _, _ = _digit_tiles(H, oh, method, align=8,
+                             tile=_pick_tile_h(H, oh, method, align=8))
     if btw.k_in > W or bth.k_in > _round_up(H, 8):
         return False
     if btw.n_tiles > _PIL_MAX_TILES:
@@ -516,7 +586,7 @@ def pil_exact_streamed_supported(shape, oh, ow, method: str) -> bool:
 def _kernel_2pass_pil_streamed(
     starts_ref, cstarts_ref, x_hbm, bandw_ref, bandh_ref, ctw_ref, cth_ref,
     o_ref, win, sem, *, k_rows, chunks, k_in_w, bsz=1,
-    clip_w=True, clip_h=True,
+    clip_w=True, clip_h=True, tile_h=128,
 ):
     """One (bsz-image block, output-row tile, column chunk) per step: DMA
     the halo'd uint8 row-and-column window for ``bsz`` images at once, run
@@ -613,12 +683,13 @@ def _kernel_2pass_pil_streamed(
                     )
                 )
             # pass 2 (H) on the quantised intermediates, per image
+            th = tile_h
             for bi in range(bsz):
                 S = jax.lax.dot_general(
                     bandh_ref[t], inters[bi], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                )  # [3*128, wci]
-                u8v = _fixup_int(S[:128], S[128:256], S[256:],
+                )  # [3*tile_h, wci]: digits along result sublanes
+                u8v = _fixup_int(S[:th], S[th : 2 * th], S[2 * th :],
                                  cth_ref[t][:, None], clip=clip_h)
                 o_ref[bi, :, :wci] = u8v.astype(jnp.uint8)
 
@@ -636,7 +707,8 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
     """
     B, H, W = x3.shape
     btw, bandsw, ctw = _digit_tiles(W, ow, method)
-    bth, bandsh, cth = _digit_tiles(H, oh, method, align=8)
+    bth, bandsh, cth = _digit_tiles(H, oh, method, align=8,
+                                    tile=_pick_tile_h(H, oh, method, align=8))
     Hp, Wp = _round_up(H, 8), _round_up(W, 128)
     if (Hp, Wp) != (H, W):
         # zero pad rows/cols carry zero digit weight -> bit-identical
@@ -701,6 +773,7 @@ def _pil_streamed_call(
         bsz=bsz,
         clip_w=_needs_clip(W, ow, method),
         clip_h=_needs_clip(H, oh, method),
+        tile_h=bth.tile,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -710,21 +783,21 @@ def _pil_streamed_call(
             pl.BlockSpec((CT, btw.k_in, 3 * 128),
                          lambda b, t, c, starts, cstarts: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bth.n_tiles, bth.k_in, 3 * 128),
+            pl.BlockSpec((bth.n_tiles, bth.k_in, 3 * bth.tile),
                          lambda b, t, c, starts, cstarts: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            # bias constants are tiny (n_tiles x 128 int32): fully
+            # bias constants are tiny (n_tiles x tile int32): fully
             # resident — a CT-sized block would violate Mosaic's
             # (8, 128)-divisible block rule
             pl.BlockSpec((btw.n_tiles, 128),
                          lambda b, t, c, starts, cstarts: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bth.n_tiles, 128),
+            pl.BlockSpec((bth.n_tiles, bth.tile),
                          lambda b, t, c, starts, cstarts: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (bsz, 128, CT * 128),
+            (bsz, bth.tile, CT * 128),
             lambda b, t, c, starts, cstarts: (b, t, c),
             memory_space=pltpu.VMEM,
         ),

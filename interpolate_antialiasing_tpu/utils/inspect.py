@@ -205,6 +205,23 @@ def kernel_report(
             )
         )
         total += mmacs
+    if pil_int8:
+        # report the geometry the digit kernel actually executes (incl. the
+        # round-3 H-pass tile width and effective 128-deep MXU K passes)
+        from ..ops.pil_exact import _digit_tiles, _pick_tile_h
+
+        m = "box" if mode == "nearest" else mode
+        tile_h = _pick_tile_h(H, oh, m)
+        for ax, (insz, outsz, tl) in zip(
+            axes, ((W, ow, 128), (H, oh, tile_h))
+        ):
+            bt, _, _ = _digit_tiles(insz, outsz, m, tile=tl)
+            ax.update(
+                digit_tile=tl,
+                digit_k_in=bt.k_in,
+                digit_n_tiles=bt.n_tiles,
+                digit_k_passes=-(-bt.k_in // 128),
+            )
     hbm = lead * (H * W * dt.itemsize + oh * ow * dt.itemsize) / 1e6
     return KernelReport(
         in_shape=in_shape,

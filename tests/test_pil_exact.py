@@ -335,3 +335,48 @@ def test_image_resize_trailing_plane_promotes(rng, monkeypatch):
         np.asarray(Image.fromarray(x.transpose(1, 2, 0)).resize(
             (50, 80), Image.BILINEAR)), (2, 0, 1))
     assert np.abs(y2.astype(int) - ref2.astype(int)).max() <= 1
+
+
+def test_tile_h_parameterization_bit_exact(rng, monkeypatch):
+    """Sub-128 H-pass output tiles (the round-3 MXU K-pass geometry knob,
+    ops/pil_exact._pick_tile_h) are byte-identical to Pillow for every
+    width, on both the whole-image and streamed kernels — the tile width
+    only changes the matmul geometry the MXU executes, never a byte."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+
+    H, W, oh, ow = 150, 260, 67, 119
+    img = (rng.random((2, H, W)) * 255).astype(np.uint8)
+    ref = np.stack([
+        np.asarray(Image.fromarray(p).resize((ow, oh), Image.BILINEAR))
+        for p in img
+    ])
+    try:
+        for tile_h in (128, 112, 64, 56, 32):
+            monkeypatch.setenv("IA_TPU_PIL_TILE_H", str(tile_h))
+            pe._pick_tile_h.cache_clear()
+            pe._digit_tiles.cache_clear()
+            got = np.asarray(
+                pe._resize_pil_exact_pallas(jnp.asarray(img), oh, ow,
+                                            "bilinear"))
+            np.testing.assert_array_equal(got, ref, err_msg=f"tile_h={tile_h}")
+            got_s = np.asarray(
+                pe._resize_pil_exact_streamed(jnp.asarray(img), oh, ow,
+                                              "bilinear"))
+            np.testing.assert_array_equal(got_s, ref,
+                                          err_msg=f"streamed tile_h={tile_h}")
+    finally:
+        pe._pick_tile_h.cache_clear()
+        pe._digit_tiles.cache_clear()
+
+
+def test_pick_tile_h_is_8_granular_and_bounded():
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+
+    for in_size, out_size, mode in [(438, 196, "bilinear"), (2160, 720,
+                                    "bilinear"), (438, 196, "lanczos3"),
+                                    (512, 512, "bicubic")]:
+        for align in (1, 8):
+            t = pe._pick_tile_h(in_size, out_size, mode, align=align)
+            assert 32 <= t <= 128 and t % 8 == 0
