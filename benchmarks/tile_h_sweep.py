@@ -105,6 +105,58 @@ def main():
           [0, 128, 112, 96, 64] if args.quick else tiles,
           check_exact=not args.quick)
 
+    # float kernels (IA_TPU_FLOAT_TILE_H + weights.pick_tile_h): headline
+    # f32 onekernel and 4K bf16 streamed video
+    sweep_float(args)
+
+
+def sweep_float(args):
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from interpolate_antialiasing_tpu.ops import pallas_resize as pr
+    from interpolate_antialiasing_tpu.ops.weights import make_axis_spec
+    from interpolate_antialiasing_tpu.utils.timing import device_time_per_call
+
+    rng = np.random.default_rng(1)
+    cases = [
+        ("float_headline_f32",
+         jnp.asarray(rng.standard_normal((192, 438, 906)), jnp.float32),
+         (196, 320), "onekernel"),
+        ("float_4k_bf16",
+         jnp.asarray(rng.standard_normal((24, 2160, 3840)), jnp.bfloat16),
+         (720, 1280), "streamed"),
+    ]
+    tiles = [0, 128, 96, 64, 32] if args.quick else [0, 128, 112, 96, 64, 32]
+    for name, x, (oh, ow), kind in cases:
+        sh = make_axis_spec(x.shape[-2], oh, "bilinear", True, False, None)
+        sw = make_axis_spec(x.shape[-1], ow, "bilinear", True, False, None)
+        for t in tiles:
+            if t == 0:
+                os.environ.pop("IA_TPU_FLOAT_TILE_H", None)
+            else:
+                os.environ["IA_TPU_FLOAT_TILE_H"] = str(t)
+            pr._tiles_exact_h_cached.cache_clear()
+            pr._tiles_stream_cached.cache_clear()
+            try:
+                if kind == "onekernel":
+                    f = jax.jit(lambda a: pr.resize2d_onekernel(a, sh, sw))
+                else:
+                    f = jax.jit(lambda a: pr.resize2d_streamed(a, sh, sw))
+                f(x).block_until_ready()
+                ms = device_time_per_call(f, x, iters=8) * 1e3
+                print(json.dumps({"workload": name, "tile_h": t,
+                                  "ms": round(ms, 4)}), flush=True)
+            except Exception as e:
+                print(json.dumps({"workload": name, "tile_h": t,
+                                  "error": str(e).splitlines()[0][:120]}),
+                      flush=True)
+    os.environ.pop("IA_TPU_FLOAT_TILE_H", None)
+    pr._tiles_exact_h_cached.cache_clear()
+    pr._tiles_stream_cached.cache_clear()
+
 
 if __name__ == "__main__":
     main()

@@ -915,15 +915,26 @@ def resize2d_pallas(
 
 
 @functools.cache
-def _tiles_exact_cached(spec: AxisSpec) -> BandedTiles:
-    return banded_tiles(spec, tile=_LANE, dtype=np.float32, align=1,
+def _tiles_exact_cached(spec: AxisSpec, tile: int = _LANE) -> BandedTiles:
+    return banded_tiles(spec, tile=tile, dtype=np.float32, align=1,
                         in_cap=spec.in_size)
+
+
+@functools.cache
+def _tiles_exact_h_cached(spec: AxisSpec) -> BandedTiles:
+    """H-pass tiles at the cost-model-picked width (weights.pick_tile_h:
+    sub-128 output tiles slice the contract-over-sublanes result for free
+    and can drop whole 128-deep MXU K passes)."""
+    from .weights import pick_tile_h
+
+    return _tiles_exact_cached(spec, tile=pick_tile_h(spec))
 
 
 def _onekernel_vmem(x_dtype, out_dtype, H, W, OH, OW, btw, bth, bsz) -> int:
     ib = jnp.dtype(x_dtype).itemsize
     ob = jnp.dtype(out_dtype).itemsize
-    band_bytes = (btw.n_tiles * btw.k_in + bth.n_tiles * bth.k_in) * _LANE * 4
+    band_bytes = (btw.n_tiles * btw.k_in * btw.tile
+                  + bth.n_tiles * bth.k_in * bth.tile) * 4
     per_img = (
         _round_up(H, 32) * _round_up(W, _LANE) * ib * 2  # in block, 2x buffered
         + _round_up(H, 8) * btw.out_padded * 4  # scratch intermediate
@@ -944,7 +955,7 @@ def resize2d_onekernel_supported(
     )
     H, W = spec_h.in_size, spec_w.in_size
     btw = _tiles_exact_cached(spec_w)
-    bth = _tiles_exact_cached(spec_h)
+    bth = _tiles_exact_h_cached(spec_h)
     if btw.k_in > W or bth.k_in > H:
         return False
     if btw.n_tiles > _MAX_UNROLL_TILES or bth.n_tiles > _MAX_UNROLL_TILES:
@@ -959,7 +970,7 @@ def resize2d_onekernel_supported(
 def _kernel_2pass(
     x_ref, bandw_ref, bandh_ref, o_ref,
     *, bsz, H, OH, OW, starts_w, k_in_w, starts_h, k_in_h,
-    precision, out_dtype, in_exact, quant_inter=False,
+    precision, out_dtype, in_exact, quant_inter=False, tile_h=_LANE,
 ):
     per_img = []
     for bi in range(bsz):
@@ -991,10 +1002,10 @@ def _kernel_2pass(
             win = inter[s : s + k_in_h, :]  # (k_in_h, OWP)
             y = _mxu_dot(bandh_ref[t], win, (((0,), (0,)), ((), ())), precision,
                          b_exact_bf16=quant_inter)
-            rows = min(_LANE, OH - t * _LANE)
+            rows = min(tile_h, OH - t * tile_h)
             _store(
                 o_ref,
-                (bi, slice(t * _LANE, t * _LANE + rows), slice(0, OW)),
+                (bi, slice(t * tile_h, t * tile_h + rows), slice(0, OW)),
                 y[:rows, :OW],
                 out_dtype,
             )
@@ -1030,7 +1041,7 @@ def resize2d_onekernel(
     OH = out_h if out_h is not None else spec_h.out_size
     OW = out_w if out_w is not None else spec_w.out_size
     btw = tiles_w if tiles_w is not None else _tiles_exact_cached(spec_w)
-    bth = tiles_h if tiles_h is not None else _tiles_exact_cached(spec_h)
+    bth = tiles_h if tiles_h is not None else _tiles_exact_h_cached(spec_h)
 
     # Largest image-count per grid step that fits VMEM (cap 8), preferring
     # divisors of B so the grid is exact.
@@ -1057,6 +1068,7 @@ def resize2d_onekernel(
         out_dtype=out_dtype,
         in_exact=x.dtype in (jnp.uint8, jnp.bfloat16),
         quant_inter=bool(x.dtype == jnp.uint8 and out_dtype == jnp.uint8),
+        tile_h=bth.tile,
     )
     ib = x.dtype.itemsize
     y = pl.pallas_call(
@@ -1071,7 +1083,7 @@ def resize2d_onekernel(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (bth.n_tiles, bth.k_in, _LANE),
+                (bth.n_tiles, bth.k_in, bth.tile),
                 lambda b: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -1160,6 +1172,18 @@ def resize2d_onekernel_transpose(
 
 @functools.cache
 def _tiles_stream_cached(spec: AxisSpec) -> BandedTiles:
+    from .weights import pick_tile_h
+
+    # Output tile width by the MXU K-pass cost model (see pick_tile_h).
+    # 32-multiples only: the streamed output block is BlockSpec-indexed at
+    # t*tile, and 32 satisfies every out-dtype's sublane tiling (u8 32,
+    # bf16 16, f32 8).
+    tile = pick_tile_h(spec, align=8, cands=(128, 96, 64, 32))
+    return _tiles_stream_cached_at(spec, tile)
+
+
+@functools.cache
+def _tiles_stream_cached_at(spec: AxisSpec, tile: int) -> BandedTiles:
     # Dynamic DMA row offsets are 8-aligned; in_cap = round_up(in_size, 8)
     # keeps every window (and its 8-aligned clamped start) inside the
     # 8-row-padded input the caller guarantees (resize2d_streamed pads the
@@ -1173,7 +1197,7 @@ def _tiles_stream_cached(spec: AxisSpec) -> BandedTiles:
     # pipeline on the real chip (tests/test_resize2d_fused.py STREAM_CASES
     # cover the math in interpret mode; the hardware check is in the
     # commit-time verification log).
-    return banded_tiles(spec, tile=_LANE, dtype=np.float32, align=8,
+    return banded_tiles(spec, tile=tile, dtype=np.float32, align=8,
                         in_cap=_round_up(spec.in_size, 8))
 
 
@@ -1237,10 +1261,12 @@ def _streamed_vmem(x_dtype, out_dtype, inter_dtype, ccols, tiles_per_chunk,
                    btw, bth) -> int:
     ib = jnp.dtype(x_dtype).itemsize
     k_rows = bth.k_in
-    band_bytes = (btw.n_tiles * btw.k_in + bth.n_tiles * bth.k_in) * _LANE * 4
+    band_bytes = (btw.n_tiles * btw.k_in * btw.tile
+                  + bth.n_tiles * bth.k_in * bth.tile) * 4
     win = 2 * k_rows * ccols * ib
     inter = k_rows * tiles_per_chunk * _LANE * jnp.dtype(inter_dtype).itemsize
-    outb = 2 * _LANE * tiles_per_chunk * _LANE * jnp.dtype(out_dtype).itemsize
+    outb = (2 * bth.tile * tiles_per_chunk * _LANE
+            * jnp.dtype(out_dtype).itemsize)
     return band_bytes + win + inter + outb
 
 
@@ -1446,13 +1472,13 @@ def resize2d_streamed(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (bth.n_tiles, bth.k_in, _LANE),
+                (bth.n_tiles, bth.k_in, bth.tile),
                 lambda b, t, c, starts, cstarts: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, _LANE, CT * _LANE),
+            (1, bth.tile, CT * _LANE),
             lambda b, t, c, starts, cstarts: (b, t, c),
             memory_space=pltpu.VMEM,
         ),

@@ -198,6 +198,8 @@ def _pick_tile_h(in_size: int, out_size: int, mode: str,
     cands = range(128, 55, -8) if align == 1 else (128, 96, 64, 32)
     for t in cands:
         n_tiles = -(-out_size // t)
+        if n_tiles > _PIL_MAX_TILES and t != 128:
+            continue  # never flip the route's n_tiles admission gate
         spans = []
         for ti in range(n_tiles):
             o1 = min((ti + 1) * t, out_size)

@@ -92,6 +92,7 @@ def kernel_report(
     from ..ops.resize import _axes_for
     from ..ops.pallas_resize import (
         _tiles_exact_cached,
+        _tiles_exact_h_cached,
         resize2d_onekernel_supported,
         resize2d_streamed_supported,
     )
@@ -188,7 +189,11 @@ def kernel_report(
     axes = []
     total = 0.0
     for name, spec, rows in (("W", spec_w, H), ("H", spec_h, spec_w.out_size)):
-        bt = _tiles_exact_cached(spec) if onek else banded_tiles(spec)
+        if onek:  # the geometry the onekernel actually executes
+            bt = (_tiles_exact_h_cached(spec) if name == "H"
+                  else _tiles_exact_cached(spec))
+        else:
+            bt = banded_tiles(spec)
         nz = float((bt.band != 0).sum())
         density = nz / bt.band.size if bt.band.size else 0.0
         mmacs = rows * bt.k_in * bt.out_padded / 1e6

@@ -307,3 +307,36 @@ def test_vjp_through_public_api_matches_fd(rng):
     Ww = dense_matrix(make_axis_spec(80, 40, "bilinear"), dtype=np.float64)
     ref = np.einsum("io,ncou,uj->ncij", Wh.T, np.asarray(ct, np.float64), Ww)
     assert np.abs(np.asarray(gx) - ref).max() < 1e-3
+
+
+def test_float_tile_h_widths_match_dense(rng, monkeypatch):
+    """The float kernels' H-pass tile width (weights.pick_tile_h /
+    IA_TPU_FLOAT_TILE_H) is a pure MXU-geometry knob: every width must
+    reproduce the dense-oracle result on both the onekernel and streamed
+    routes."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from interpolate_antialiasing_tpu.ops import pallas_resize as pr
+    from interpolate_antialiasing_tpu.ops.resize_xla import resize_axis_dense
+    from interpolate_antialiasing_tpu.ops.weights import make_axis_spec
+
+    H, W, oh, ow = 150, 260, 67, 119
+    sh = make_axis_spec(H, oh, "bilinear", True, False, None)
+    sw = make_axis_spec(W, ow, "bilinear", True, False, None)
+    x = jnp.asarray(rng.standard_normal((2, H, W)), jnp.float32)
+    ref = np.asarray(
+        resize_axis_dense(resize_axis_dense(x, sw, axis=-1), sh, axis=-2))
+    try:
+        for t in (128, 96, 64, 32):
+            monkeypatch.setenv("IA_TPU_FLOAT_TILE_H", str(t))
+            pr._tiles_exact_h_cached.cache_clear()
+            pr._tiles_stream_cached.cache_clear()
+            y1 = np.asarray(pr.resize2d_onekernel(x, sh, sw))
+            np.testing.assert_allclose(y1, ref, atol=2e-2, err_msg=f"one {t}")
+            y2 = np.asarray(pr.resize2d_streamed(x, sh, sw))
+            np.testing.assert_allclose(y2, ref, atol=2e-2,
+                                       err_msg=f"stream {t}")
+    finally:
+        pr._tiles_exact_h_cached.cache_clear()
+        pr._tiles_stream_cached.cache_clear()
