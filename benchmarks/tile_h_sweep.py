@@ -72,6 +72,55 @@ def sweep(name, make_call, x, oh, ow, tiles, check_exact=True):
     pe._digit_tiles.cache_clear()
 
 
+def sweep_w(name, make_call, x, oh, ow, tiles, check_exact=True):
+    """Forced-width sweep of the streamed kernel's W-pass tile
+    (ops/pil_exact._pick_tile_w's ground truth — the W knob trades a
+    dropped MXU K pass against garbage lanes in the H contraction, so
+    only the end-to-end number decides)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+    from interpolate_antialiasing_tpu.utils.timing import device_time_per_call
+
+    ref = _pillow_ref(np.asarray(x), oh, ow) if check_exact else None
+    xd = jnp.asarray(x)
+    for t in tiles:
+        pe._pick_tile_w.cache_clear()
+        pe._digit_tiles.cache_clear()
+        if t == 0:
+            os.environ.pop("IA_TPU_PIL_TILE_W", None)  # model's own pick
+        else:
+            os.environ["IA_TPU_PIL_TILE_W"] = str(t)
+        try:
+            f = make_call(oh, ow)
+            y = f(xd)
+            y.block_until_ready()
+            err = (
+                int(np.abs(np.asarray(y).astype(int) - ref.astype(int)).max())
+                if check_exact else -1
+            )
+            ms = device_time_per_call(f, xd, iters=8) * 1e3
+            bth, _, _ = pe._digit_tiles(
+                x.shape[-2], oh, "bilinear", align=8,
+                tile=pe._pick_tile_h(x.shape[-2], oh, "bilinear", align=8))
+            picked = pe._pick_tile_w(x.shape[-1], ow, "bilinear",
+                                     k_rows=bth.k_in, tile_h=bth.tile)
+            print(json.dumps({
+                "workload": name, "tile_w": t or f"auto({picked})",
+                "ms": round(ms, 4), "max_abs_err": err,
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "workload": name, "tile_w": t,
+                "error": str(e).splitlines()[0][:120],
+            }), flush=True)
+    os.environ.pop("IA_TPU_PIL_TILE_W", None)
+    pe._pick_tile_w.cache_clear()
+    pe._digit_tiles.cache_clear()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -104,6 +153,13 @@ def main():
     sweep("4k_stream", make_stream, x4, 720, 1280,
           [0, 128, 112, 96, 64] if args.quick else tiles,
           check_exact=not args.quick)
+
+    # W-pass tile width (IA_TPU_PIL_TILE_W, ops/pil_exact._pick_tile_w):
+    # streamed route only — H tile at the model's own pick throughout
+    sweep_w("4k_stream_w", make_stream, x4, 720, 1280,
+            [0, 128, 120, 112, 96] if args.quick
+            else [0, 128, 120, 112, 104, 96, 88, 80, 72, 64],
+            check_exact=not args.quick)
 
     # float kernels (IA_TPU_FLOAT_TILE_H + weights.pick_tile_h): headline
     # f32 onekernel and 4K bf16 streamed video

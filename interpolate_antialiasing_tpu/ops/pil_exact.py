@@ -104,7 +104,7 @@ def _split_digits(K: np.ndarray) -> np.ndarray:
 
 @cache
 def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1,
-                 tile: int = 128):
+                 tile: int = 128, pitch: int | None = None):
     """Tile-compacted digit bands + rounding/bias constants (Pallas path).
 
     One window layout (starts, k_in) derived from the full coefficient
@@ -123,15 +123,23 @@ def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1,
     cf. pallas_resize._tiles_stream_cached).
 
     ``tile`` is the output-tile width (digit planes at lane offsets 0,
-    ``tile``, ``2*tile``).  The H pass uses sub-128 tiles when that lands
-    the contraction width ``k_in`` on a smaller multiple of the MXU's
-    128-deep K pass (the round-3 geometry study: int8 matmul time goes as
-    ``ceil(K/128)``, so e.g. K=287 -> 384 effective pays 33% more MXU
-    time than a 112-wide tile's K<=256); digit slicing there is along
-    result *sublanes*, where non-128 offsets are free.
+    ``pitch``, ``2*pitch``; ``pitch`` defaults to ``tile``).  The H pass
+    uses sub-128 tiles when that lands the contraction width ``k_in`` on
+    a smaller multiple of the MXU's 128-deep K pass (the round-3 geometry
+    study: int8 matmul time goes as ``ceil(K/128)``, so e.g. K=287 -> 384
+    effective pays 33% more MXU time than a 112-wide tile's K<=256);
+    digit slicing there is along result *sublanes*, where non-128 offsets
+    are free.  The W pass slices digits along result LANES, where only
+    128-multiple offsets are free — so its sub-128 tiles keep
+    ``pitch=128`` (digit planes at fixed lane offsets 0/128/256, the top
+    ``128-tile`` lanes of each group zero-padded) and the caller compacts
+    the strided output lanes once, on the final uint8 array (see
+    :func:`_pick_tile_w`).
     """
     from .weights import banded_tiles_from_matrix
 
+    pitch = tile if pitch is None else pitch
+    assert pitch >= tile
     cap = in_size if align == 1 else -(-in_size // align) * align
     K = _int_matrix(in_size, out_size, mode)
     base = banded_tiles_from_matrix(
@@ -141,10 +149,10 @@ def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1,
     D = _split_digits(K)  # [3, out, in] int8
     n_tiles, k_in = base.n_tiles, base.k_in
     # digit planes concatenated along the output (lane) dim: one
-    # [k_in, 3*tile] int8 matmul per tile instead of three [k_in, tile]
+    # [k_in, 3*pitch] int8 matmul per tile instead of three [k_in, tile]
     # ones — the MXU amortises the weight load over 3x the output columns.
-    bands = np.zeros((n_tiles, k_in, 3 * tile), dtype=np.int8)
-    ct = np.zeros((n_tiles, tile), dtype=np.int64)
+    bands = np.zeros((n_tiles, k_in, 3 * pitch), dtype=np.int8)
+    ct = np.zeros((n_tiles, pitch), dtype=np.int64)
     colsum = K.astype(np.int64).sum(axis=1)  # [out]
     for t in range(n_tiles):
         s = int(base.starts[t])
@@ -152,7 +160,7 @@ def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1,
         rows = D[:, t * tile : o1, :]
         seg = rows[:, :, s : min(s + k_in, in_size)]
         for d in range(3):
-            bands[t, : seg.shape[2], d * tile : d * tile + seg.shape[1]] = (
+            bands[t, : seg.shape[2], d * pitch : d * pitch + seg.shape[1]] = (
                 np.swapaxes(seg[d], 0, 1)
             )
         ct[t, : o1 - t * tile] = 128 * colsum[t * tile : o1]
@@ -220,6 +228,62 @@ def _pick_tile_h(in_size: int, out_size: int, mode: str,
 # matmul — conservative; biases ties toward fewer, wider tiles).
 _N_QUANT = 8
 _TILE_FIXED_COST = 128 * 128
+# per-W-tile fixed cost for _pick_tile_w, in full M*K_eff*N MAC units
+# (roughly one extra 128^3 matmul: epilogue recombine + bookkeeping).
+_TILE_W_FIXED_COST = 128 * 128 * 128
+
+
+@cache
+def _pick_tile_w(in_size: int, out_size: int, mode: str, k_rows: int,
+                 tile_h: int) -> int:
+    """Output-tile width for the streamed kernel's W pass (MXU cost model).
+
+    The W pass slices digit sums along result LANES, so the digit planes
+    must stay at fixed 128-lane offsets (``_digit_tiles`` ``pitch=128``)
+    and the matmul's N stays 3*128 whatever the tile width — but K
+    (``k_in ~ tile*scale + ntaps``) still quantises to 128-deep MXU
+    passes, so a sub-128 tile can drop a whole pass: at the 4K->HD
+    geometry (scale 2) tile 120 lands K=246 -> 2 passes where tile 128
+    pays K=262 -> 3.  The price, unlike the H knob, is real: each extra
+    W tile adds 128 garbage lanes the H matmul contracts over
+    (``N_h = n_tiles*128``) and one lane-strided slice in the final
+    output compaction.  Cost model (full M*K_eff*N units, both passes):
+
+      cost(T) = n_tiles(T) * ( k_rows * roundup(k_in(T), 128) * 384
+                               + 3*tile_h * roundup(k_rows, 128) * 128
+                               + fixed )
+
+    ``IA_TPU_PIL_TILE_W`` forces a width for on-chip sweeps
+    (benchmarks/tile_h_sweep.py --w-pass is the end-to-end ground truth).
+    """
+    import os
+
+    forced = os.environ.get("IA_TPU_PIL_TILE_W")  # bench/experiment knob
+    if forced:
+        return int(forced)
+    K = _int_matrix(in_size, out_size, mode)
+    nz = K != 0
+    lo = np.argmax(nz, axis=1)
+    hi = in_size - np.argmax(nz[:, ::-1], axis=1)  # exclusive
+    h_term = 3 * tile_h * _round_up(k_rows, 128) * 128
+    best_t, best_cost = 128, None
+    for t in range(128, 63, -8):
+        n_tiles = -(-out_size // t)
+        if n_tiles > _PIL_MAX_TILES and t != 128:
+            continue  # never flip the route's n_tiles admission gate
+        spans = []
+        for ti in range(n_tiles):
+            o1 = min((ti + 1) * t, out_size)
+            spans.append(int(hi[ti * t : o1].max()) - int(lo[ti * t : o1].min()))
+        k_in = min(_round_up(max(spans), 1), in_size)
+        cost = n_tiles * (
+            k_rows * _round_up(k_in, 128) * 384
+            + h_term
+            + _TILE_W_FIXED_COST
+        )
+        if best_cost is None or cost < best_cost:
+            best_t, best_cost = t, cost
+    return best_t
 
 
 @cache
@@ -571,13 +635,24 @@ def pil_auto_promotable(shape, oh, ow, method: str, antialias: bool = True
     ) or pil_exact_streamed_supported(shape, oh, ow, m)
 
 
+def _stream_tiles(H, W, oh, ow, method):
+    """The streamed route's (btw, bandsw, ctw, bth, bandsh, cth) with both
+    round-3 tile-width knobs applied: sub-128 H tiles (sublane-sliced,
+    free) and sub-128 W tiles at lane pitch 128 (see _pick_tile_w) — one
+    place, so the admission gate and the executor can never disagree on
+    the geometry."""
+    bth, bandsh, cth = _digit_tiles(
+        H, oh, method, align=8, tile=_pick_tile_h(H, oh, method, align=8))
+    tile_w = _pick_tile_w(W, ow, method, k_rows=bth.k_in, tile_h=bth.tile)
+    btw, bandsw, ctw = _digit_tiles(W, ow, method, tile=tile_w, pitch=128)
+    return btw, bandsw, ctw, bth, bandsh, cth
+
+
 def pil_exact_streamed_supported(shape, oh, ow, method: str) -> bool:
     if method == "pil_nearest" or len(shape) < 2:
         return False
     H, W = shape[-2], shape[-1]
-    btw, _, _ = _digit_tiles(W, ow, method)
-    bth, _, _ = _digit_tiles(H, oh, method, align=8,
-                             tile=_pick_tile_h(H, oh, method, align=8))
+    btw, _, _, bth, _, _ = _stream_tiles(H, W, oh, ow, method)
     if btw.k_in > W or bth.k_in > _round_up(H, 8):
         return False
     if btw.n_tiles > _PIL_MAX_TILES:
@@ -708,9 +783,7 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
     there, as before.
     """
     B, H, W = x3.shape
-    btw, bandsw, ctw = _digit_tiles(W, ow, method)
-    bth, bandsh, cth = _digit_tiles(H, oh, method, align=8,
-                                    tile=_pick_tile_h(H, oh, method, align=8))
+    btw, bandsw, ctw, bth, bandsh, cth = _stream_tiles(H, W, oh, ow, method)
     Hp, Wp = _round_up(H, 8), _round_up(W, 128)
     if (Hp, Wp) != (H, W):
         # zero pad rows/cols carry zero digit weight -> bit-identical
@@ -823,6 +896,15 @@ def _pil_streamed_call(
     )(jnp.asarray(bth.starts, dtype=jnp.int32),
       jnp.asarray(plan.col_starts, dtype=jnp.int32), x3, jnp.asarray(bandsw),
       jnp.asarray(bandsh), jnp.asarray(ctw), jnp.asarray(cth))
+    if btw.tile != 128:
+        # sub-128 W tiles live at lane pitch 128 inside the kernel (digit
+        # slices must stay at 128-lane offsets); compact the strided valid
+        # lanes ONCE, on the final uint8 array — a [.., n, 128] -> [.., n,
+        # tile] strided slice XLA executes at HBM stream rate (~us at HD),
+        # vs the whole dropped MXU K pass the narrow tile buys (~100s us).
+        Bn, OHp, Wl = y.shape
+        y = y.reshape(Bn, OHp, Wl // 128, 128)[..., : btw.tile]
+        y = y.reshape(Bn, OHp, -1)
     return y[:, :oh, :ow]
 
 

@@ -371,6 +371,54 @@ def test_tile_h_parameterization_bit_exact(rng, monkeypatch):
         pe._digit_tiles.cache_clear()
 
 
+def test_tile_w_parameterization_bit_exact(rng, monkeypatch):
+    """Sub-128 W-pass output tiles (round-3 MXU K-pass knob for the
+    contract-over-lanes pass, ops/pil_exact._pick_tile_w) are
+    byte-identical to Pillow for every width on the streamed kernel.
+    Unlike the H knob, the digit planes stay at fixed 128-lane offsets
+    (lane slicing is only free at 128-multiples) and the valid output
+    lanes are compacted once on the final uint8 array — so this pins
+    both the pitch!=tile band layout and the strided-lane compaction."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+
+    H, W, oh, ow = 150, 260, 67, 119
+    img = (rng.random((2, H, W)) * 255).astype(np.uint8)
+    ref = {
+        m: np.stack([
+            np.asarray(Image.fromarray(p).resize((ow, oh), r))
+            for p in img
+        ])
+        for m, r in [("bilinear", Image.BILINEAR),
+                     ("lanczos3", Image.LANCZOS)]  # clip-free + clip paths
+    }
+    try:
+        for tile_w in (128, 120, 96, 72, 64):
+            monkeypatch.setenv("IA_TPU_PIL_TILE_W", str(tile_w))
+            pe._pick_tile_w.cache_clear()
+            pe._digit_tiles.cache_clear()
+            for m in ("bilinear", "lanczos3"):
+                got = np.asarray(
+                    pe._resize_pil_exact_streamed(jnp.asarray(img), oh, ow, m))
+                np.testing.assert_array_equal(
+                    got, ref[m], err_msg=f"tile_w={tile_w} {m}")
+    finally:
+        pe._pick_tile_w.cache_clear()
+        pe._digit_tiles.cache_clear()
+
+
+def test_pick_tile_w_is_8_granular_and_bounded():
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+
+    for in_size, out_size in [(3840, 1280), (3840, 1920), (906, 320),
+                              (260, 119)]:
+        t = pe._pick_tile_w(in_size, out_size, "bilinear", k_rows=208,
+                            tile_h=96)
+        assert 64 <= t <= 128 and t % 8 == 0
+        assert -(-out_size // t) <= pe._PIL_MAX_TILES or t == 128
+
+
 def test_pick_tile_h_is_8_granular_and_bounded():
     from interpolate_antialiasing_tpu.ops import pil_exact as pe
 
