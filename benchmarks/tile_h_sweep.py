@@ -213,6 +213,32 @@ def sweep_float(args):
     pr._tiles_exact_h_cached.cache_clear()
     pr._tiles_stream_cached.cache_clear()
 
+    # float streamed W-pass tile (IA_TPU_FLOAT_TILE_W): bf16 4K video —
+    # decides whether the bf16 MXU has the same ceil(K/128) behaviour the
+    # int8 probes measured (if yes, give _tiles_stream_w_cached a model)
+    name, x, (oh, ow), _ = cases[1]
+    sh = make_axis_spec(x.shape[-2], oh, "bilinear", True, False, None)
+    sw = make_axis_spec(x.shape[-1], ow, "bilinear", True, False, None)
+    for t in ([0, 120, 112, 96] if args.quick
+              else [0, 120, 112, 104, 96, 88, 80, 72, 64]):
+        if t == 0:
+            os.environ.pop("IA_TPU_FLOAT_TILE_W", None)
+        else:
+            os.environ["IA_TPU_FLOAT_TILE_W"] = str(t)
+        pr._tiles_stream_w_cached.cache_clear()
+        try:
+            f = jax.jit(lambda a: pr.resize2d_streamed(a, sh, sw))
+            f(x).block_until_ready()
+            ms = device_time_per_call(f, x, iters=8) * 1e3
+            print(json.dumps({"workload": name + "_wpass", "tile_w": t,
+                              "ms": round(ms, 4)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"workload": name + "_wpass", "tile_w": t,
+                              "error": str(e).splitlines()[0][:120]}),
+                  flush=True)
+    os.environ.pop("IA_TPU_FLOAT_TILE_W", None)
+    pr._tiles_stream_w_cached.cache_clear()
+
 
 if __name__ == "__main__":
     main()

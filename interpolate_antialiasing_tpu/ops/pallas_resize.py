@@ -1201,6 +1201,32 @@ def _tiles_stream_cached_at(spec: AxisSpec, tile: int) -> BandedTiles:
                         in_cap=_round_up(spec.in_size, 8))
 
 
+@functools.cache
+def _tiles_stream_w_cached(spec: AxisSpec) -> BandedTiles:
+    """W-pass tiles for the streamed kernel, optionally at a sub-128
+    output width (``IA_TPU_FLOAT_TILE_W``) padded to the fixed 128-lane
+    pitch — the float twin of ops/pil_exact._pick_tile_w's layout: the W
+    pass slices the result along LANES where only 128-multiple offsets
+    are free, so a narrower tile keeps its band in a zero-padded
+    ``[k_in, 128]`` operand (same kernel) and the caller compacts the
+    strided valid lanes once on the final output array.  Default 128
+    (status quo): unlike the int8 digit kernels, the bf16 ceil(K/128)
+    MXU quantisation is not yet measured in isolation — run
+    benchmarks/mxu_geometry.py (bf16 K sweep) and the tile_h_sweep float
+    W sweep on-chip before giving this a cost model.  Env read is cached
+    with the spec: sweeps must clear this cache after changing it."""
+    import os
+
+    tile = int(os.environ.get("IA_TPU_FLOAT_TILE_W", "128"))
+    if tile >= _LANE:
+        return _tiles_exact_cached(spec)
+    bt = banded_tiles(spec, tile=tile, dtype=np.float32, align=1,
+                      in_cap=spec.in_size)
+    band = np.zeros((bt.n_tiles, bt.k_in, _LANE), np.float32)
+    band[:, :, : bt.tile] = bt.band
+    return dataclasses.replace(bt, band=band)
+
+
 @dataclasses.dataclass(frozen=True)
 class _StreamChunkPlan:
     """Column-chunking of the W pass for the streamed kernel.
@@ -1261,7 +1287,9 @@ def _streamed_vmem(x_dtype, out_dtype, inter_dtype, ccols, tiles_per_chunk,
                    btw, bth) -> int:
     ib = jnp.dtype(x_dtype).itemsize
     k_rows = bth.k_in
-    band_bytes = (btw.n_tiles * btw.k_in * btw.tile
+    # btw.band is lane-padded to 128 when btw.tile < 128 (fixed lane
+    # pitch, _tiles_stream_w_cached) — count the stored width, not tile
+    band_bytes = (btw.n_tiles * btw.k_in * btw.band.shape[-1]
                   + bth.n_tiles * bth.k_in * bth.tile) * 4
     win = 2 * k_rows * ccols * ib
     inter = k_rows * tiles_per_chunk * _LANE * jnp.dtype(inter_dtype).itemsize
@@ -1303,7 +1331,7 @@ def resize2d_streamed_supported(
     out_dtype = out_dtype if out_dtype is not None else (
         jnp.float32 if x.dtype == jnp.uint8 else x.dtype
     )
-    btw = _tiles_exact_cached(spec_w)
+    btw = _tiles_stream_w_cached(spec_w)
     bth = _tiles_stream_cached(spec_h)
     if btw.k_in > W or bth.k_in > _round_up(H, 8):
         return False
@@ -1427,7 +1455,7 @@ def resize2d_streamed(
     B = int(np.prod(lead)) if lead else 1
     H, W = x.shape[-2], x.shape[-1]
     OH, OW = spec_h.out_size, spec_w.out_size
-    btw = _tiles_exact_cached(spec_w)
+    btw = _tiles_stream_w_cached(spec_w)
     bth = _tiles_stream_cached(spec_h)
     T = bth.n_tiles
     x3 = x.reshape(B, H, W)
@@ -1503,6 +1531,13 @@ def resize2d_streamed(
         ),
         interpret=_interpret(),
     )(starts_h, col_starts, x3, jnp.asarray(btw.band), jnp.asarray(bth.band))
+    if btw.tile != _LANE:
+        # sub-128 W tiles live at lane pitch 128 inside the kernel; compact
+        # the strided valid lanes once, on the final array (cf. the digit
+        # kernels' _pick_tile_w — an XLA strided slice at HBM rate)
+        Bn, OHp, Wl = y.shape
+        y = y.reshape(Bn, OHp, Wl // _LANE, _LANE)[..., : btw.tile]
+        y = y.reshape(Bn, OHp, -1)
     return y[:, :OH, :OW].reshape(*lead, OH, OW)
 
 

@@ -234,6 +234,39 @@ def test_streamed_column_chunking_bit_identical(rng, shape, ohw, mode, idt,
     assert d <= tol, d
 
 
+def test_streamed_float_tile_w_bit_identical(rng, monkeypatch):
+    """Sub-128 W-pass output tiles for the float streamed kernel
+    (IA_TPU_FLOAT_TILE_W, pallas_resize._tiles_stream_w_cached): the band
+    keeps its 128-lane pitch (zero-padded) and the wrapper compacts the
+    strided valid output lanes, so each valid lane's contraction is the
+    same dot over the same values — bit-identical output for every
+    width, f32 and the quantised u8->u8 route."""
+    import interpolate_antialiasing_tpu.ops.pallas_resize as pr
+
+    shape, ohw, mode = (2, 150, 260), (67, 119), "bilinear"
+    spec_h = make_axis_spec(shape[-2], ohw[0], mode)
+    spec_w = make_axis_spec(shape[-1], ohw[1], mode)
+    xf = jnp.asarray(rng.random(shape).astype(np.float32) * 255.0)
+    xu = xf.astype(jnp.uint8)
+    ref_f = np.asarray(resize2d_streamed(xf, spec_h, spec_w))
+    ref_u = np.asarray(resize2d_streamed(xu, spec_h, spec_w,
+                                         out_dtype=jnp.uint8))
+    try:
+        for tile_w in (120, 96, 72):
+            monkeypatch.setenv("IA_TPU_FLOAT_TILE_W", str(tile_w))
+            pr._tiles_stream_w_cached.cache_clear()
+            assert resize2d_streamed_supported(xf, spec_h, spec_w)
+            got_f = np.asarray(resize2d_streamed(xf, spec_h, spec_w))
+            got_u = np.asarray(resize2d_streamed(xu, spec_h, spec_w,
+                                                 out_dtype=jnp.uint8))
+            np.testing.assert_array_equal(got_f, ref_f,
+                                          err_msg=f"f32 tile_w={tile_w}")
+            np.testing.assert_array_equal(got_u, ref_u,
+                                          err_msg=f"u8 tile_w={tile_w}")
+    finally:
+        pr._tiles_stream_w_cached.cache_clear()
+
+
 def test_stream_plan_wide_f32():
     """8K float32 halving: the whole-row window (2 x k_rows x 7680 x 4B)
     busts the VMEM budget, so round 2's kernel fell back to the padded
