@@ -93,6 +93,8 @@ def kernel_report(
     from ..ops.pallas_resize import (
         _tiles_exact_cached,
         _tiles_exact_h_cached,
+        _tiles_stream_cached,
+        _tiles_stream_w_cached,
         resize2d_onekernel_supported,
         resize2d_streamed_supported,
     )
@@ -177,8 +179,17 @@ def kernel_report(
         )
     except Exception:
         streamed = False
+    pil_whole = False
     if pil_int8:
-        route = "pil_exact int8 digit kernel (bit-exact)"
+        from ..ops.pil_exact import pil_exact_pallas_supported
+
+        m = "box" if mode == "nearest" else mode
+        try:
+            pil_whole = pil_exact_pallas_supported(shape_k, oh, ow, m)
+        except Exception:
+            pil_whole = False
+        route = ("pil_exact int8 digit kernel (bit-exact)" if pil_whole
+                 else "pil_exact int8 digit kernel, streamed (bit-exact)")
     elif onek:
         route = "single-kernel (resize2d_onekernel)"
     elif streamed:
@@ -192,6 +203,9 @@ def kernel_report(
         if onek:  # the geometry the onekernel actually executes
             bt = (_tiles_exact_h_cached(spec) if name == "H"
                   else _tiles_exact_cached(spec))
+        elif streamed:  # ... and the float streamed kernel (round-3 knobs)
+            bt = (_tiles_stream_cached(spec) if name == "H"
+                  else _tiles_stream_w_cached(spec))
         else:
             bt = banded_tiles(spec)
         nz = float((bt.band != 0).sum())
@@ -212,15 +226,19 @@ def kernel_report(
         total += mmacs
     if pil_int8:
         # report the geometry the digit kernel actually executes (incl. the
-        # round-3 H-pass tile width and effective 128-deep MXU K passes)
-        from ..ops.pil_exact import _digit_tiles, _pick_tile_h
+        # round-3 tile-width knobs and effective 128-deep MXU K passes) —
+        # whole-image (align=1, W tile pinned 128) vs streamed (align=8 H
+        # windows, W tile by _pick_tile_w at lane pitch 128)
+        from ..ops.pil_exact import _digit_tiles, _pick_tile_h, _stream_tiles
 
-        m = "box" if mode == "nearest" else mode
-        tile_h = _pick_tile_h(H, oh, m)
-        for ax, (insz, outsz, tl) in zip(
-            axes, ((W, ow, 128), (H, oh, tile_h))
-        ):
-            bt, _, _ = _digit_tiles(insz, outsz, m, tile=tl)
+        if pil_whole:
+            tile_h = _pick_tile_h(H, oh, m)
+            geo = [(_digit_tiles(W, ow, m)[0], 128),
+                   (_digit_tiles(H, oh, m, tile=tile_h)[0], tile_h)]
+        else:
+            btw, _, _, bth, _, _ = _stream_tiles(H, W, oh, ow, m)
+            geo = [(btw, btw.tile), (bth, bth.tile)]
+        for ax, (bt, tl) in zip(axes, geo):
             ax.update(
                 digit_tile=tl,
                 digit_k_in=bt.k_in,
