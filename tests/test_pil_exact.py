@@ -408,6 +408,32 @@ def test_tile_w_parameterization_bit_exact(rng, monkeypatch):
         pe._digit_tiles.cache_clear()
 
 
+def test_streamed_image_batching_bit_exact(rng):
+    """bsz > 1 (images per grid step, _pil_stream_bsz): the batched DMA
+    window (`b_i*bsz` block indexing) and per-image W/H trace must stay
+    byte-identical to Pillow across multiple grid blocks — pins the
+    round-3 image-batched streamed kernel (B=8 -> bsz=4 x 2 blocks,
+    B=6 -> bsz=3 x 2 blocks)."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.ops import pil_exact as pe
+
+    H, W, oh, ow = 150, 260, 67, 119
+    for B, want_bsz in ((8, 4), (6, 3)):
+        img = (rng.random((B, H, W)) * 255).astype(np.uint8)
+        ref = np.stack([
+            np.asarray(Image.fromarray(p).resize((ow, oh), Image.BILINEAR))
+            for p in img
+        ])
+        btw, _, _, bth, _, _ = pe._stream_tiles(H, W, oh, ow, "bilinear")
+        plan = pe._pil_stream_plan(W, btw, bth)
+        assert pe._pil_stream_bsz(B, plan, btw, bth) == want_bsz
+        got = np.asarray(
+            pe._resize_pil_exact_streamed(jnp.asarray(img), oh, ow,
+                                          "bilinear"))
+        np.testing.assert_array_equal(got, ref, err_msg=f"B={B}")
+
+
 def test_pick_tile_w_is_8_granular_and_bounded():
     from interpolate_antialiasing_tpu.ops import pil_exact as pe
 
