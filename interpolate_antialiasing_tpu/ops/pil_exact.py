@@ -564,16 +564,22 @@ def _pil_streamed_vmem(ccols, tiles_per_chunk, btw, bth, bsz=1,
     )
 
 
-def _pil_stream_bsz(B: int, plan, btw, bth) -> int:
+def _pil_stream_bsz(B: int, plan, btw, bth, max_bsz: int = 8) -> int:
     """Images per grid step.  The on-chip step-count sweep (round 3)
     measured ~1.1 us of fixed cost per grid step (window-DMA setup + grid
     bookkeeping) on top of near-floor compute, so batching images into one
     step is nearly-free throughput: pick the biggest divisor of B whose
-    windows still fit.  Planned against 5/6 of the kernel budget (vs the
-    chunk plan's 2/3): the bsz decision has its own retry rung — a Mosaic
-    VMEM rejection falls back to bsz=1 before shrinking the chunk plan."""
+    windows still fit.  At the 4K->HD reference workload (24 planes,
+    whole-row chunks) the VMEM model admits bsz=6 — 92 grid steps instead
+    of 552 at bsz=1.  Planned against 5/6 of the kernel budget (vs the
+    chunk plan's 2/3): the bsz decision has its own retry ladder — a
+    Mosaic VMEM rejection steps down through the smaller candidates
+    before shrinking the chunk plan.  ``max_bsz`` is that ladder's rung.
+    """
     budget = _PIL_VMEM_BUDGET * 5 // 6
-    for bsz in (4, 3, 2):
+    for bsz in (8, 6, 4, 3, 2):
+        if bsz > max_bsz:
+            continue
         if B % bsz == 0 and _pil_streamed_vmem(
             plan.ccols, plan.tiles_per_chunk, btw, bth, bsz,
             single_chunk=plan.n_chunks == 1,
@@ -804,7 +810,9 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
             )
         except Exception as e:  # Mosaic VMEM admission (eager path only)
             if not tracing and "vmem" in str(e).lower() and bsz > 1:
-                bsz = 1  # first rung: drop image batching, keep the plan
+                # first rungs: step the image batching down, keep the plan
+                bsz = _pil_stream_bsz(x3.shape[0], plan, btw, bth,
+                                      max_bsz=bsz - 1)
                 continue
             retryable = (
                 not tracing

@@ -412,14 +412,14 @@ def test_streamed_image_batching_bit_exact(rng):
     """bsz > 1 (images per grid step, _pil_stream_bsz): the batched DMA
     window (`b_i*bsz` block indexing) and per-image W/H trace must stay
     byte-identical to Pillow across multiple grid blocks — pins the
-    round-3 image-batched streamed kernel (B=8 -> bsz=4 x 2 blocks,
-    B=6 -> bsz=3 x 2 blocks)."""
+    round-3 image-batched streamed kernel (B=16 -> bsz=8 x 2 blocks,
+    B=9 -> bsz=3 x 3 blocks)."""
     from PIL import Image
 
     from interpolate_antialiasing_tpu.ops import pil_exact as pe
 
     H, W, oh, ow = 150, 260, 67, 119
-    for B, want_bsz in ((8, 4), (6, 3)):
+    for B, want_bsz in ((16, 8), (9, 3)):
         img = (rng.random((B, H, W)) * 255).astype(np.uint8)
         ref = np.stack([
             np.asarray(Image.fromarray(p).resize((ow, oh), Image.BILINEAR))
