@@ -1284,18 +1284,38 @@ def _stream_chunk_plan(btw, Wp: int, tiles_per_chunk: int) -> _StreamChunkPlan:
 
 
 def _streamed_vmem(x_dtype, out_dtype, inter_dtype, ccols, tiles_per_chunk,
-                   btw, bth) -> int:
+                   btw, bth, bsz: int = 1) -> int:
     ib = jnp.dtype(x_dtype).itemsize
     k_rows = bth.k_in
     # btw.band is lane-padded to 128 when btw.tile < 128 (fixed lane
     # pitch, _tiles_stream_w_cached) — count the stored width, not tile
     band_bytes = (btw.n_tiles * btw.k_in * btw.band.shape[-1]
                   + bth.n_tiles * bth.k_in * bth.tile) * 4
-    win = 2 * k_rows * ccols * ib
-    inter = k_rows * tiles_per_chunk * _LANE * jnp.dtype(inter_dtype).itemsize
-    outb = (2 * bth.tile * tiles_per_chunk * _LANE
+    win = 2 * bsz * k_rows * ccols * ib
+    inter = (bsz * k_rows * tiles_per_chunk * _LANE
+             * jnp.dtype(inter_dtype).itemsize)
+    outb = (2 * bsz * bth.tile * tiles_per_chunk * _LANE
             * jnp.dtype(out_dtype).itemsize)
     return band_bytes + win + inter + outb
+
+
+def _stream_bsz(B, plan, x_dtype, out_dtype, inter_dtype, btw, bth,
+                max_bsz: int = 8) -> int:
+    """Images per grid step for the float streamed kernel — the float twin
+    of ops/pil_exact._pil_stream_bsz (same on-chip finding: ~1.1 us fixed
+    cost per grid step, so batching images per step is nearly-free
+    throughput).  Planned against 5/6 of the budget; a Mosaic VMEM
+    rejection steps down the ladder via ``max_bsz``."""
+    budget = _VMEM_BUDGET * 5 // 6
+    for bsz in (8, 6, 4, 3, 2):
+        if bsz > max_bsz:
+            continue
+        if B % bsz == 0 and _streamed_vmem(
+            x_dtype, out_dtype, inter_dtype, plan.ccols,
+            plan.tiles_per_chunk, btw, bth, bsz,
+        ) <= budget:
+            return bsz
+    return 1
 
 
 def _stream_plan(x_dtype, out_dtype, inter_dtype, Wp, btw, bth):
@@ -1347,9 +1367,9 @@ def resize2d_streamed_supported(
 def _kernel_2pass_streamed(
     starts_ref, cstarts_ref, x_hbm, bandw_ref, bandh_ref, o_ref, win,
     sem, *, k_rows, chunks, k_in_w, precision, out_dtype, inter_dtype,
-    in_exact, quant_inter=False,
+    in_exact, quant_inter=False, bsz=1,
 ):
-    b = pl.program_id(0)
+    b = pl.program_id(0)  # block of bsz images
     t = pl.program_id(1)
     c = pl.program_id(2)
     B = jnp.int32(pl.num_programs(0))
@@ -1360,9 +1380,9 @@ def _kernel_2pass_streamed(
     def dma(slot, b_i, t_i, c_i):
         return pltpu.make_async_copy(
             x_hbm.at[
-                b_i,
+                pl.ds(b_i * jnp.int32(bsz), bsz),
                 pl.ds(pl.multiple_of(starts_ref[t_i], 8), k_rows),
-                pl.ds(pl.multiple_of(cstarts_ref[c_i], _LANE), win.shape[2]),
+                pl.ds(pl.multiple_of(cstarts_ref[c_i], _LANE), win.shape[3]),
             ],
             win.at[slot],
             sem.at[slot],
@@ -1392,34 +1412,41 @@ def _kernel_2pass_streamed(
 
         @pl.when(c == ci)
         def _(tiles=tiles):
-            # pass 1: contract W for this chunk's tiles.  SSA-value
-            # intermediate (no scratch ref): lets the scheduler overlap
-            # the inter-pass VPU work with in-flight matmuls (see
-            # _kernel_2pass / benchmarks/epilogue_probe.py).
-            wtiles = []
-            for j, (wt, off) in enumerate(tiles):
-                xw = _widen(win[slot][:, off : off + k_in_w])
-                y = _mxu_dot(
-                    xw, bandw_ref[wt], (((1,), (0,)), ((), ())), precision,
-                    in_exact,
+            # pass 1: contract W for this chunk's tiles, ALL images first
+            # (all-W-then-all-H gives the scheduler the largest window of
+            # independent cross-image work — measured on the digit twin,
+            # benchmarks/epilogue_probe.py).  SSA-value intermediate (no
+            # scratch ref): lets the scheduler overlap the inter-pass VPU
+            # work with in-flight matmuls (see _kernel_2pass).
+            inters = []
+            for bi in range(bsz):
+                wtiles = []
+                for j, (wt, off) in enumerate(tiles):
+                    xw = _widen(win[slot, bi][:, off : off + k_in_w])
+                    y = _mxu_dot(
+                        xw, bandw_ref[wt], (((1,), (0,)), ((), ())),
+                        precision, in_exact,
+                    )
+                    if quant_inter:
+                        y = _quant_u8grid(y)
+                    wtiles.append(y.astype(inter_dtype))
+                # concat, not per-tile split — split-H measured slower on
+                # the whole-image digit kernel (epilogue_probe schedule)
+                inters.append(
+                    wtiles[0] if len(wtiles) == 1 else jnp.concatenate(
+                        wtiles, axis=1
+                    )
                 )
-                if quant_inter:
-                    y = _quant_u8grid(y)
-                wtiles.append(y.astype(inter_dtype))
-            inter_v = wtiles[0] if len(wtiles) == 1 else jnp.concatenate(
-                wtiles, axis=1
-            )
             # pass 2: contract the window rows with this tile's H band
-            # (concat, not per-tile split — split-H measured slower on
-            # the whole-image digit kernel, epilogue_probe schedule)
             wci = len(tiles) * _LANE
-            y = _mxu_dot(
-                bandh_ref[t], _widen(inter_v), (((0,), (0,)), ((), ())),
-                precision,
-                b_exact_bf16=quant_inter
-                or jnp.dtype(inter_dtype) == jnp.bfloat16,
-            )
-            _store(o_ref, (0, slice(None), slice(0, wci)), y, out_dtype)
+            for bi in range(bsz):
+                y = _mxu_dot(
+                    bandh_ref[t], _widen(inters[bi]), (((0,), (0,)), ((), ())),
+                    precision,
+                    b_exact_bf16=quant_inter
+                    or jnp.dtype(inter_dtype) == jnp.bfloat16,
+                )
+                _store(o_ref, (bi, slice(None), slice(0, wci)), y, out_dtype)
 
 
 def resize2d_streamed(
@@ -1473,64 +1500,79 @@ def resize2d_streamed(
     ):  # test hook: force column chunking on shapes that would fit whole-row
         plan = _stream_chunk_plan(btw, Wp, max_tiles_per_chunk)
     C, CT = plan.n_chunks, plan.tiles_per_chunk
+    bsz = _stream_bsz(B, plan, x.dtype, out_dtype, inter_dtype, btw, bth)
     starts_h = jnp.asarray(bth.starts, dtype=jnp.int32)
     col_starts = jnp.asarray(plan.col_starts, dtype=jnp.int32)
-
-    kern = functools.partial(
-        _kernel_2pass_streamed,
-        k_rows=bth.k_in,
-        chunks=plan.chunks,
-        k_in_w=btw.k_in,
-        precision=precision,
-        out_dtype=out_dtype,
-        inter_dtype=jnp.dtype(inter_dtype),
-        in_exact=x.dtype in (jnp.uint8, jnp.bfloat16),
-        quant_inter=bool(
-            x.dtype == jnp.uint8 and jnp.dtype(out_dtype) == jnp.uint8
-        ),
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, T, C),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-            pl.BlockSpec(
-                (btw.n_tiles, btw.k_in, _LANE),
-                lambda b, t, c, starts, cstarts: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (bth.n_tiles, bth.k_in, bth.tile),
-                lambda b, t, c, starts, cstarts: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, bth.tile, CT * _LANE),
-            lambda b, t, c, starts, cstarts: (b, t, c),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, bth.k_in, plan.ccols), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
     ib = x.dtype.itemsize
-    y = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct(
-            (B, bth.out_padded, C * CT * _LANE), out_dtype
-        ),
-        grid_spec=grid_spec,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * T * bth.k_in * (btw.k_in * btw.out_padded
-                                          + _LANE * btw.out_padded),
-            bytes_accessed=B * T * C * bth.k_in * plan.ccols * ib
-            + B * OH * OW * out_dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=_interpret(),
-    )(starts_h, col_starts, x3, jnp.asarray(btw.band), jnp.asarray(bth.band))
+
+    def _call(bsz):
+        kern = functools.partial(
+            _kernel_2pass_streamed,
+            k_rows=bth.k_in,
+            chunks=plan.chunks,
+            k_in_w=btw.k_in,
+            precision=precision,
+            out_dtype=out_dtype,
+            inter_dtype=jnp.dtype(inter_dtype),
+            in_exact=x.dtype in (jnp.uint8, jnp.bfloat16),
+            quant_inter=bool(
+                x.dtype == jnp.uint8 and jnp.dtype(out_dtype) == jnp.uint8
+            ),
+            bsz=bsz,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B // bsz, T, C),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+                pl.BlockSpec(
+                    (btw.n_tiles, btw.k_in, _LANE),
+                    lambda b, t, c, starts, cstarts: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (bth.n_tiles, bth.k_in, bth.tile),
+                    lambda b, t, c, starts, cstarts: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (bsz, bth.tile, CT * _LANE),
+                lambda b, t, c, starts, cstarts: (b, t, c),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, bsz, bth.k_in, plan.ccols), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(
+                (B, bth.out_padded, C * CT * _LANE), out_dtype
+            ),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * T * bth.k_in * (btw.k_in * btw.out_padded
+                                              + _LANE * btw.out_padded),
+                bytes_accessed=B * T * C * bth.k_in * plan.ccols * ib
+                + B * OH * OW * out_dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(starts_h, col_starts, x3, jnp.asarray(btw.band),
+          jnp.asarray(bth.band))
+
+    tracing = isinstance(x3, jax.core.Tracer)
+    while True:
+        try:
+            y = _call(bsz)
+            break
+        except Exception as e:  # Mosaic VMEM admission (eager path only)
+            if tracing or "vmem" not in str(e).lower() or bsz == 1:
+                raise
+            bsz = _stream_bsz(B, plan, x.dtype, out_dtype, inter_dtype,
+                              btw, bth, max_bsz=bsz - 1)
     if btw.tile != _LANE:
         # sub-128 W tiles live at lane pitch 128 inside the kernel; compact
         # the strided valid lanes once, on the final array (cf. the digit

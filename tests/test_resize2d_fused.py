@@ -267,6 +267,31 @@ def test_streamed_float_tile_w_bit_identical(rng, monkeypatch):
         pr._tiles_stream_w_cached.cache_clear()
 
 
+def test_streamed_image_batching_matches_single(rng):
+    """bsz > 1 (images per grid step, pallas_resize._stream_bsz): batched
+    DMA windows and per-image all-W-then-all-H traces across multiple
+    grid blocks — same values as the dense oracle and (f32) the same
+    bits regardless of B, since each image's contractions are unchanged."""
+    import interpolate_antialiasing_tpu.ops.pallas_resize as pr
+
+    H, W, oh, ow = 150, 260, 67, 119
+    spec_h = make_axis_spec(H, oh, "bilinear")
+    spec_w = make_axis_spec(W, ow, "bilinear")
+    x16 = jnp.asarray(rng.random((16, H, W)).astype(np.float32))
+    btw = pr._tiles_stream_w_cached(spec_w)
+    bth = pr._tiles_stream_cached(spec_h)
+    plan = pr._stream_plan(x16.dtype, x16.dtype, jnp.float32,
+                           -(-W // 128) * 128, btw, bth)
+    assert pr._stream_bsz(16, plan, x16.dtype, x16.dtype, jnp.float32,
+                          btw, bth) == 8  # 2 grid blocks
+    y16 = np.asarray(resize2d_streamed(x16, spec_h, spec_w))
+    per = np.stack([
+        np.asarray(resize2d_streamed(x16[i : i + 1], spec_h, spec_w))[0]
+        for i in range(16)
+    ])
+    np.testing.assert_array_equal(y16, per)
+
+
 def test_stream_plan_wide_f32():
     """8K float32 halving: the whole-row window (2 x k_rows x 7680 x 4B)
     busts the VMEM budget, so round 2's kernel fell back to the padded
