@@ -51,6 +51,23 @@ _LANE = 128
 _VMEM_BUDGET = 12 * 1024 * 1024  # headroom below the ~16MB/core VMEM
 
 
+def compact_lanes(y: jax.Array, tile: int) -> jax.Array:
+    """Compact sub-128 W tiles out of their fixed 128-lane slots.
+
+    The streamed kernels' W pass keeps sub-128 output tiles at lane pitch
+    128 (lane slicing is only free at 128-multiples inside a kernel), so
+    tile ``j``'s valid columns live at lanes ``[j*128, j*128+tile)`` of
+    the raw kernel output.  One XLA strided slice on the final array
+    (runs at HBM stream rate) packs them; shared by resize2d_streamed and
+    pil_exact so the two routes can never diverge on the layout."""
+    if tile == _LANE:
+        return y
+    *lead, n = y.shape
+    return y.reshape(*lead, n // _LANE, _LANE)[..., :tile].reshape(
+        *lead, (n // _LANE) * tile
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -1307,7 +1324,7 @@ def _stream_bsz(B, plan, x_dtype, out_dtype, inter_dtype, btw, bth,
     throughput).  Planned against 5/6 of the budget; a Mosaic VMEM
     rejection steps down the ladder via ``max_bsz``."""
     budget = _VMEM_BUDGET * 5 // 6
-    for bsz in (8, 6, 4, 3, 2):
+    for bsz in (8, 7, 6, 5, 4, 3, 2):
         if bsz > max_bsz:
             continue
         if B % bsz == 0 and _streamed_vmem(
@@ -1573,13 +1590,7 @@ def resize2d_streamed(
                 raise
             bsz = _stream_bsz(B, plan, x.dtype, out_dtype, inter_dtype,
                               btw, bth, max_bsz=bsz - 1)
-    if btw.tile != _LANE:
-        # sub-128 W tiles live at lane pitch 128 inside the kernel; compact
-        # the strided valid lanes once, on the final array (cf. the digit
-        # kernels' _pick_tile_w — an XLA strided slice at HBM rate)
-        Bn, OHp, Wl = y.shape
-        y = y.reshape(Bn, OHp, Wl // _LANE, _LANE)[..., : btw.tile]
-        y = y.reshape(Bn, OHp, -1)
+    y = compact_lanes(y, btw.tile)
     return y[:, :OH, :OW].reshape(*lead, OH, OW)
 
 

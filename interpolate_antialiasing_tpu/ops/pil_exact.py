@@ -260,7 +260,9 @@ def _pick_tile_w(in_size: int, out_size: int, mode: str, k_rows: int,
 
     forced = os.environ.get("IA_TPU_PIL_TILE_W")  # bench/experiment knob
     if forced:
-        return int(forced)
+        # clamp: >128 is not a valid digit-lane layout (pitch is fixed at
+        # 128), and the dispatcher must never crash on a leftover env var
+        return min(int(forced), 128)
     K = _int_matrix(in_size, out_size, mode)
     nz = K != 0
     lo = np.argmax(nz, axis=1)
@@ -577,7 +579,7 @@ def _pil_stream_bsz(B: int, plan, btw, bth, max_bsz: int = 8) -> int:
     before shrinking the chunk plan.  ``max_bsz`` is that ladder's rung.
     """
     budget = _PIL_VMEM_BUDGET * 5 // 6
-    for bsz in (8, 6, 4, 3, 2):
+    for bsz in (8, 7, 6, 5, 4, 3, 2):
         if bsz > max_bsz:
             continue
         if B % bsz == 0 and _pil_streamed_vmem(
@@ -826,6 +828,8 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
             )
             if plan is None:
                 raise
+            # the smaller plan's windows may re-admit image batching
+            bsz = _pil_stream_bsz(x3.shape[0], plan, btw, bth)
 
 
 def _pil_streamed_call(
@@ -904,16 +908,14 @@ def _pil_streamed_call(
     )(jnp.asarray(bth.starts, dtype=jnp.int32),
       jnp.asarray(plan.col_starts, dtype=jnp.int32), x3, jnp.asarray(bandsw),
       jnp.asarray(bandsh), jnp.asarray(ctw), jnp.asarray(cth))
-    if btw.tile != 128:
-        # sub-128 W tiles live at lane pitch 128 inside the kernel (digit
-        # slices must stay at 128-lane offsets); compact the strided valid
-        # lanes ONCE, on the final uint8 array — a [.., n, 128] -> [.., n,
-        # tile] strided slice XLA executes at HBM stream rate (~us at HD),
-        # vs the whole dropped MXU K pass the narrow tile buys (~100s us).
-        Bn, OHp, Wl = y.shape
-        y = y.reshape(Bn, OHp, Wl // 128, 128)[..., : btw.tile]
-        y = y.reshape(Bn, OHp, -1)
-    return y[:, :oh, :ow]
+    from .pallas_resize import compact_lanes
+
+    # sub-128 W tiles live at lane pitch 128 inside the kernel (digit
+    # slices must stay at 128-lane offsets); compact the strided valid
+    # lanes ONCE, on the final uint8 array (shared helper — an XLA strided
+    # slice at HBM stream rate, ~us at HD, vs the whole dropped MXU K pass
+    # the narrow tile buys, ~100s of us).
+    return compact_lanes(y, btw.tile)[:, :oh, :ow]
 
 
 def resize_pil_exact(
