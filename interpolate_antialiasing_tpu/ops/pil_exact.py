@@ -254,7 +254,8 @@ def _pick_tile_w(in_size: int, out_size: int, mode: str, k_rows: int,
                                + fixed )
 
     ``IA_TPU_PIL_TILE_W`` forces a width for on-chip sweeps
-    (benchmarks/tile_h_sweep.py --w-pass is the end-to-end ground truth).
+    (benchmarks/tile_h_sweep.py's 4k_stream_w sweep is the end-to-end
+    ground truth).
     """
     import os
 
