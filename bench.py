@@ -14,6 +14,8 @@ CPU threads (BASELINE.md step-2 row) = 62,720 px / 574.9e-6 s
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -22,8 +24,80 @@ import numpy as np
 
 REF_MPIX_S = (196 * 320) / 574.9e-6 / 1e6  # 109.1 output Mpix/s
 
+# The tunnelled TPU backend has a recurring failure mode: the tunnel stalls
+# or drops and backend init raises "Unable to initialize backend 'axon'"
+# (it killed the round-3 driver capture, BENCH_r03.json rc=1).  Probe the
+# backend in a SUBPROCESS (a failed in-process init can leave jax's backend
+# cache poisoned) with a bounded retry, and on final failure emit ONE
+# structured JSON line so the artifact is parseable and distinguishable
+# from a library crash.  Mirrors the reference harness's failure-explicit
+# env bootstrap (/root/reference/test.py:304-322).
+def _env_int(name: str, default: int) -> int:
+    try:
+        v = int(os.environ.get(name, ""))
+        return v if v > 0 else default
+    except ValueError:
+        return default
+
+
+_PROBE_ATTEMPTS = _env_int("IA_TPU_BENCH_PROBE_ATTEMPTS", 3)
+# first op on the tunnel can take 30s; stalls run longer
+_PROBE_TIMEOUT_S = _env_int("IA_TPU_BENCH_PROBE_TIMEOUT_S", 240)
+_PROBE_RETRY_DELAY_S = _env_int("IA_TPU_BENCH_PROBE_RETRY_S", 20)
+
+
+def _probe_backend() -> tuple[bool, str]:
+    """Try to initialize the JAX backend in a subprocess, with retries.
+
+    Returns (ok, detail).  detail is the platform string on success, the
+    last error line on failure.
+    """
+    code = "import jax; d = jax.devices(); print('PROBE_OK', d[0].platform)"
+    last = "no attempt ran"
+    for attempt in range(1, _PROBE_ATTEMPTS + 1):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=_PROBE_TIMEOUT_S,
+            )
+            tail = (out.stdout + out.stderr).strip().splitlines()
+            last = tail[-1] if tail else f"rc={out.returncode}, no output"
+            for line in tail:
+                if line.startswith("PROBE_OK"):
+                    return True, line.split(" ", 1)[1]
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {_PROBE_TIMEOUT_S}s"
+        sys.stderr.write(f"[bench] backend probe attempt {attempt} failed: {last}\n")
+        if attempt < _PROBE_ATTEMPTS:
+            time.sleep(_PROBE_RETRY_DELAY_S)
+    return False, last
+
+
+def _emit_skip(reason_detail: str) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "bilinear-AA uint8 906x438->320x196 batch64 output throughput (sustained device rate)",
+                "value": None,
+                "unit": "Mpix/s",
+                "vs_baseline": None,
+                "skipped": True,
+                "reason": "tpu-unavailable",
+                "detail": reason_detail[-500:],
+                "attempts": _PROBE_ATTEMPTS,
+            }
+        )
+    )
+
 
 def main() -> None:
+    ok, detail = _probe_backend()
+    if not ok:
+        _emit_skip(detail)
+        return
+
     import jax
     import jax.numpy as jnp
 
@@ -76,6 +150,7 @@ def main() -> None:
                 "timing_method": "profiler-device-time" if dev_s else "two-point",
                 "ms_per_batch_two_point": round(marginal_s * 1e3, 3),
                 "ms_per_batch_incl_host_sync": round(r_hi.seconds * 1e3, 3),
+                "platform": detail,
             }
         )
     )

@@ -1,0 +1,58 @@
+#!/bin/bash
+# Round-4 on-chip session (VERDICT r3 asks #1/#4/#5/#7): one command the
+# moment the TPU tunnel returns.  Order matters — the sweeps come first so
+# retune can validate (or tell us to revert) the staged round-3 tile
+# defaults BEFORE the gate/roofline artifacts are recorded with them live.
+#
+#   bash benchmarks/onchip_r4.sh [outdir]        (default /tmp/onchip_r4)
+#
+# Every step logs JSON lines; nothing here edits the repo — reading the
+# logs, running retune, and committing fresh data/ artifacts stays with
+# the operator.
+set -u
+OUT=${1:-/tmp/onchip_r4}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+step() {
+  name=$1; shift
+  echo "=== $name: $* (-> $OUT/$name.log)"
+  timeout 3000 "$@" >"$OUT/$name.log" 2>"$OUT/$name.err"
+  rc=$?
+  tail -3 "$OUT/$name.log"
+  echo "=== $name rc=$rc"
+}
+
+# 0. is the chip actually there?
+if ! timeout 300 python -c "import jax; print(jax.devices())"; then
+  echo "TPU backend unavailable — aborting."; exit 1
+fi
+
+# 1. tile sweeps (H, digit-W, float-H, float-W) — ground truth for every
+#    staged knob
+step sweep_full python benchmarks/tile_h_sweep.py
+
+# 2. retune digest: exits nonzero if any model pick is >3% off measured
+step retune python benchmarks/retune.py "$OUT/sweep_full.log"
+
+# 3. release gate (byte-exactness x 40 + layouts + headline) -> artifact
+step release_gate python benchmarks/release_gate.py --out data/release_gate.json
+
+# 4. roofline incl. the new bf16 config-5 audit -> cite in BENCHMARKS.md
+step roofline python benchmarks/roofline.py
+
+# 5. bf16 MXU geometry probes (does bf16 quantise K to 128-deep passes
+#    like int8? decides the float _pick_tile_w model, ask #5)
+step mxu_geometry python benchmarks/mxu_geometry.py
+
+# 6. epilogue probe (overlap + component split for the 0.10 ms gap, ask #4)
+step epilogue python benchmarks/epilogue_probe.py
+
+# 7. router crossover re-check + full workload matrix + driver bench
+step router python benchmarks/router_sweep.py
+step run_all python benchmarks/run_all.py
+step bench python bench.py
+
+echo "Session logs in $OUT — next: read retune.log (must be rc=0, else"
+echo "adjust ops/mxu_model.py constants or revert the pick), update"
+echo "docs/BENCHMARKS.md + README.md numbers, commit data/ artifacts."

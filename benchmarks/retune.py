@@ -7,7 +7,7 @@ workload, and prints the measured-fastest width next to the cost model's
 own pick (the ``auto(N)`` row) with the slowdown the model's choice pays
 if they differ.  This is the mechanical half of re-deriving
 ``_pick_tile_h`` / ``_pick_tile_w`` constants after a sweep — the
-judgment half (adjusting ``_TILE_FIXED_COST`` and friends so the model
+judgment half (adjusting ``ops/mxu_model.py``'s constants so the model
 reproduces the measured optimum at every swept geometry, not just one)
 stays with the operator.  Exits nonzero if any workload's model pick is
 >3% slower than its measured best, so a sweep-then-retune session can't

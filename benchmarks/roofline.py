@@ -291,6 +291,64 @@ def audit_4k_streamed(args, ceilings):
     }
 
 
+def audit_4k_bf16(args, ceilings):
+    """Third audited workload — BASELINE.json config 5: batch-64 bf16
+    3840x2160 -> 1920x1080 bilinear AA, sustained Mpix/s (VERDICT r3 weak
+    #7 asked for ONE pinned number instead of README's '~5-14 Gpix/s'
+    spread).  Routes through the float streamed pipeline with a bf16
+    intermediate; under 'split' precision bf16 pixels are exact (their lo
+    pass vanishes) and the weight band is always split, so each axis is 2
+    bf16 MXU passes (ops/pallas_resize.py::_mxu_dot)."""
+    import jax.numpy as jnp
+
+    import interpolate_antialiasing_tpu as ia
+    from interpolate_antialiasing_tpu.utils.inspect import kernel_report
+
+    frames, oh, ow = 64, 1080, 1920
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.random((frames, 2160, 3840)).astype(np.float32) * 255.0
+    ).astype(jnp.bfloat16)
+
+    def step(x):
+        y = ia.resize(x, (oh, ow), method="bilinear")
+        s = (jnp.sum(y.astype(jnp.float32)) * jnp.float32(1e-30)).astype(x.dtype)
+        return x.at[(0,) * x.ndim].add(s)
+
+    iters_hi = min(args.iters_hi, 20)  # 1.06 GB input: keep the loop short
+    sus_s, raw_s = _sustained_seconds(
+        _loop_builder(step, x), args.iters_lo, iters_hi
+    )
+    dev_ms = None
+    if not args.no_trace:
+        dev_ms = _device_ms_per_iter(step, x, iters_hi)
+
+    rep = kernel_report(x.shape, (oh, ow), "bilinear", jnp.bfloat16)
+    macs = sum(a["mmacs"] * 1e6 * 2 for a in rep.axes) * frames
+    hbm_bytes = rep.hbm_mbytes * 1e6
+    t = dev_ms / 1e3 if dev_ms else sus_s
+    tmacs = macs / t / 1e12
+    gbps = hbm_bytes / t / 1e9
+    return {
+        "workload": "video-4k-bf16-b64 3840x2160->1920x1080 (config 5)",
+        "route": rep.route,
+        "sustained_ms_per_batch": round(sus_s * 1e3, 3),
+        "profiler_device_ms_per_batch": round(dev_ms, 3) if dev_ms else None,
+        "out_Mpix_per_s": round(frames * oh * ow / t / 1e6, 1),
+        "executed_GMACs_per_batch": round(macs / 1e9, 3),
+        "achieved_TMACs_per_s": round(tmacs, 2),
+        "mxu_ceiling": "bf16",
+        "pct_of_bf16_matmul_ceiling": round(
+            100 * tmacs / (ceilings["matmul_bf16_tflops"] / 2.0), 1
+        ),
+        "hbm_GB_per_batch": round(hbm_bytes / 1e9, 4),
+        "achieved_hbm_GBps": round(gbps, 1),
+        "pct_of_stream_ceiling": round(
+            100 * gbps / ceilings["hbm_stream_GBps"], 1
+        ),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--iters-lo", type=int, default=10)
@@ -322,6 +380,7 @@ def main() -> None:
     print(json.dumps({"probe": "ceilings", **ceilings}))
     print(json.dumps(audit_headline(args, ceilings)))
     print(json.dumps(audit_4k_streamed(args, ceilings)))
+    print(json.dumps(audit_4k_bf16(args, ceilings)))
 
 
 if __name__ == "__main__":

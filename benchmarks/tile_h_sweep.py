@@ -173,7 +173,10 @@ def sweep_float(args):
     import jax.numpy as jnp
 
     from interpolate_antialiasing_tpu.ops import pallas_resize as pr
-    from interpolate_antialiasing_tpu.ops.weights import make_axis_spec
+    from interpolate_antialiasing_tpu.ops.weights import (
+        make_axis_spec,
+        pick_tile_h,
+    )
     from interpolate_antialiasing_tpu.utils.timing import device_time_per_call
 
     rng = np.random.default_rng(1)
@@ -199,11 +202,15 @@ def sweep_float(args):
             try:
                 if kind == "onekernel":
                     f = jax.jit(lambda a: pr.resize2d_onekernel(a, sh, sw))
+                    picked = pick_tile_h(sh)
                 else:
                     f = jax.jit(lambda a: pr.resize2d_streamed(a, sh, sw))
+                    picked = pick_tile_h(sh, align=8, cands=(128, 96, 64, 32))
                 f(x).block_until_ready()
                 ms = device_time_per_call(f, x, iters=8) * 1e3
-                print(json.dumps({"workload": name, "tile_h": t,
+                # auto row as a string so retune.py recognises the model row
+                print(json.dumps({"workload": name,
+                                  "tile_h": t or f"auto({picked})",
                                   "ms": round(ms, 4)}), flush=True)
             except Exception as e:
                 print(json.dumps({"workload": name, "tile_h": t,
@@ -230,7 +237,11 @@ def sweep_float(args):
             f = jax.jit(lambda a: pr.resize2d_streamed(a, sh, sw))
             f(x).block_until_ready()
             ms = device_time_per_call(f, x, iters=8) * 1e3
-            print(json.dumps({"workload": name + "_wpass", "tile_w": t,
+            # the float W default is 128 (no cost model yet): the t=0 row
+            # IS the default, tagged as a string so retune.py treats it as
+            # the model row and flags when a forced width beats it >3%
+            print(json.dumps({"workload": name + "_wpass",
+                              "tile_w": t or "auto(128)",
                               "ms": round(ms, 4)}), flush=True)
         except Exception as e:
             print(json.dumps({"workload": name + "_wpass", "tile_w": t,

@@ -1232,10 +1232,10 @@ def _tiles_stream_w_cached(spec: AxisSpec) -> BandedTiles:
     benchmarks/mxu_geometry.py (bf16 K sweep) and the tile_h_sweep float
     W sweep on-chip before giving this a cost model.  Env read is cached
     with the spec: sweeps must clear this cache after changing it."""
-    import os
+    from .mxu_model import env_tile
 
-    tile = int(os.environ.get("IA_TPU_FLOAT_TILE_W", "128"))
-    if tile >= _LANE:
+    tile = env_tile("IA_TPU_FLOAT_TILE_W", quantum=8)
+    if tile is None or tile >= _LANE:
         return _tiles_exact_cached(spec)
     bt = banded_tiles(spec, tile=tile, dtype=np.float32, align=1,
                       in_cap=spec.in_size)

@@ -186,51 +186,41 @@ def _pick_tile_h(in_size: int, out_size: int, mode: str,
     T*scale + ntaps, so shrinking T below 128 can drop ``ceil(K/128)``
     by a whole MXU pass while the digit-recombine slices stay on result
     sublanes (8-granular, free).  Cost = sum over tiles of
-    ceil(k_in/128)*128 * roundup(3T, _N_QUANT) plus a per-tile fixed
+    ceil(k_in/128)*128 * roundup(3T, N_QUANT) plus a per-tile fixed
     cost (the measured ~1 us/grid-step analogue at matmul scale).
+    Model constants and the pick loop live in ops/mxu_model.py (one copy
+    for all three pickers).
     """
-    import os
+    from . import mxu_model
 
-    forced = os.environ.get("IA_TPU_PIL_TILE_H")  # bench/experiment knob
-    if forced:
-        return int(forced)
-    K = _int_matrix(in_size, out_size, mode)
-    nz = K != 0
-    lo = np.argmax(nz, axis=1)
-    hi = in_size - np.argmax(nz[:, ::-1], axis=1)  # exclusive
-    best_t, best_cost = 128, None
     # streamed (align=8) output blocks are BlockSpec-indexed at t*tile_h, so
     # the u8 (32, 128) memory tiling demands 32-multiples; the whole-image
     # kernel stores *inside* one block (masked sublane stores), so any
     # 8-multiple works there.
+    forced = mxu_model.env_tile(
+        "IA_TPU_PIL_TILE_H",  # bench/experiment knob
+        quantum=32 if align == 8 else 8,
+    )
+    if forced is not None:
+        return forced
+    K = _int_matrix(in_size, out_size, mode)
+    nz = K != 0
+    lo = np.argmax(nz, axis=1)
+    hi = in_size - np.argmax(nz[:, ::-1], axis=1)  # exclusive
     cands = range(128, 55, -8) if align == 1 else (128, 96, 64, 32)
-    for t in cands:
-        n_tiles = -(-out_size // t)
-        if n_tiles > _PIL_MAX_TILES and t != 128:
-            continue  # never flip the route's n_tiles admission gate
-        spans = []
-        for ti in range(n_tiles):
-            o1 = min((ti + 1) * t, out_size)
-            l = (int(lo[ti * t : o1].min()) // align) * align
-            spans.append(int(hi[ti * t : o1].max()) - l)
-        k_in = min(_round_up(max(spans), max(align, 1)), in_size)
-        k_eff = _round_up(k_in, 128)
-        n_eff = _round_up(3 * t, _N_QUANT)
-        cost = n_tiles * (k_eff * n_eff + _TILE_FIXED_COST)
-        if best_cost is None or cost < best_cost:
-            best_t, best_cost = t, cost
-    return best_t
-
-
-# MXU cost-model constants (re-derive with benchmarks/mxu_geometry.py if
-# the hardware generation changes): result-N granularity and the per-tile
-# fixed cost expressed in cost-model units (k_eff*n_eff of a ~K=128,N=128
-# matmul — conservative; biases ties toward fewer, wider tiles).
-_N_QUANT = 8
-_TILE_FIXED_COST = 128 * 128
-# per-W-tile fixed cost for _pick_tile_w, in full M*K_eff*N MAC units
-# (roughly one extra 128^3 matmul: epilogue recombine + bookkeeping).
-_TILE_W_FIXED_COST = 128 * 128 * 128
+    return mxu_model.pick_tile(
+        out_size=out_size,
+        in_size=in_size,
+        lo=lo,
+        hi=hi,
+        cands=cands,
+        per_tile_cost=lambda t, keff: (
+            keff * _round_up(3 * t, mxu_model.N_QUANT)
+            + mxu_model.TILE_FIXED_COST
+        ),
+        align=align,
+        max_tiles=_PIL_MAX_TILES,
+    )
 
 
 @cache
@@ -255,38 +245,33 @@ def _pick_tile_w(in_size: int, out_size: int, mode: str, k_rows: int,
 
     ``IA_TPU_PIL_TILE_W`` forces a width for on-chip sweeps
     (benchmarks/tile_h_sweep.py's 4k_stream_w sweep is the end-to-end
-    ground truth).
+    ground truth).  Model constants and the pick loop live in
+    ops/mxu_model.py (one copy for all three pickers).
     """
-    import os
+    from . import mxu_model
 
-    forced = os.environ.get("IA_TPU_PIL_TILE_W")  # bench/experiment knob
-    if forced:
-        # clamp: >128 is not a valid digit-lane layout (pitch is fixed at
-        # 128), and the dispatcher must never crash on a leftover env var
-        return min(int(forced), 128)
+    # quantum 8: digit-lane groups sit at fixed 128-lane pitch whatever
+    # the tile, but the per-tile output slice is sublane-copied in
+    # 8-granular chunks; >128 is not a valid digit-lane layout.
+    forced = mxu_model.env_tile("IA_TPU_PIL_TILE_W", quantum=8)
+    if forced is not None:
+        return forced
     K = _int_matrix(in_size, out_size, mode)
     nz = K != 0
     lo = np.argmax(nz, axis=1)
     hi = in_size - np.argmax(nz[:, ::-1], axis=1)  # exclusive
     h_term = 3 * tile_h * _round_up(k_rows, 128) * 128
-    best_t, best_cost = 128, None
-    for t in range(128, 63, -8):
-        n_tiles = -(-out_size // t)
-        if n_tiles > _PIL_MAX_TILES and t != 128:
-            continue  # never flip the route's n_tiles admission gate
-        spans = []
-        for ti in range(n_tiles):
-            o1 = min((ti + 1) * t, out_size)
-            spans.append(int(hi[ti * t : o1].max()) - int(lo[ti * t : o1].min()))
-        k_in = min(_round_up(max(spans), 1), in_size)
-        cost = n_tiles * (
-            k_rows * _round_up(k_in, 128) * 384
-            + h_term
-            + _TILE_W_FIXED_COST
-        )
-        if best_cost is None or cost < best_cost:
-            best_t, best_cost = t, cost
-    return best_t
+    return mxu_model.pick_tile(
+        out_size=out_size,
+        in_size=in_size,
+        lo=lo,
+        hi=hi,
+        cands=range(128, 63, -8),
+        per_tile_cost=lambda t, keff: (
+            k_rows * keff * 384 + h_term + mxu_model.TILE_W_FIXED_COST
+        ),
+        max_tiles=_PIL_MAX_TILES,
+    )
 
 
 @cache

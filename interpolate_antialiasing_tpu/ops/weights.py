@@ -414,32 +414,30 @@ def pick_tile_h(spec: AxisSpec, align: int = 1,
     sub-128 tiles slice free — so a narrower output tile can drop a whole
     MXU pass (e.g. K=287 -> one 128-pass at tile 56 for the headline H
     axis).  Float twin of ops/pil_exact._pick_tile_h (same model, PIL
-    digit-matrix structure there, AxisSpec tables here)."""
-    import os
+    digit-matrix structure there, AxisSpec tables here); model constants
+    and the pick loop live in ops/mxu_model.py (one copy for all three
+    pickers)."""
+    from . import mxu_model
 
-    forced = os.environ.get("IA_TPU_FLOAT_TILE_H")  # bench/experiment knob
-    if forced:
-        return int(forced)
+    forced = mxu_model.env_tile(
+        "IA_TPU_FLOAT_TILE_H",  # bench/experiment knob
+        quantum=32 if align == 8 else 8,
+    )
+    if forced is not None:
+        return forced
     xmin, size, _ = compute_tables(spec, dtype=np.float32)
     lo = xmin.astype(np.int64)
     hi = lo + size.astype(np.int64)
-    out = spec.out_size
-    best_t, best_cost = 128, None
-    for t in cands:
-        n_tiles = -(-out // t)
-        if max_tiles is not None and n_tiles > max_tiles and t != 128:
-            continue  # never flip a route's n_tiles admission gate
-        spans = []
-        for ti in range(n_tiles):
-            o1 = min((ti + 1) * t, out)
-            l = (max(int(lo[ti * t : o1].min()), 0) // align) * align
-            spans.append(int(hi[ti * t : o1].max()) - l)
-        k_in = min(_round_up(max(spans), max(align, 1)), spec.in_size)
-        k_eff = _round_up(k_in, 128)
-        cost = n_tiles * (k_eff * t + 128 * 128)
-        if best_cost is None or cost < best_cost:
-            best_t, best_cost = t, cost
-    return best_t
+    return mxu_model.pick_tile(
+        out_size=spec.out_size,
+        in_size=spec.in_size,
+        lo=lo,
+        hi=hi,
+        cands=cands,
+        per_tile_cost=lambda t, keff: keff * t + mxu_model.TILE_FIXED_COST,
+        align=align,
+        max_tiles=max_tiles,
+    )
 
 
 def banded_tiles_from_matrix(

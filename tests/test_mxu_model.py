@@ -1,0 +1,177 @@
+"""Tests for ops/mxu_model.py — the single MXU K-pass cost model.
+
+Round-3 verdict weak #5: the ceil(K/128) pass model lived in three copies
+(weights.pick_tile_h, pil_exact._pick_tile_h, pil_exact._pick_tile_w) with
+separately-maintained constants; a retune touching one would silently skew
+the others.  These tests pin (a) that all three pickers produce the same
+widths as the pre-consolidation code for the two production geometries
+(headline 906x438->320x196 and 4K->HD), and (b) that the hardened env-knob
+reader (verdict weak #6) survives junk values end-to-end through dispatch.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from interpolate_antialiasing_tpu.ops import mxu_model
+from interpolate_antialiasing_tpu.ops import pil_exact as pe
+from interpolate_antialiasing_tpu.ops import weights as w
+
+
+def _clear_pick_caches():
+    pe._pick_tile_h.cache_clear()
+    pe._pick_tile_w.cache_clear()
+    pe._digit_tiles.cache_clear()
+    import interpolate_antialiasing_tpu.ops.pallas_resize as pr
+
+    pr._tiles_stream_w_cached.cache_clear()
+
+
+# ---------------------------------------------------------------------------
+# (a) Pinned picks: consolidating the model must not move any production
+# tile width.  Values recorded from the pre-refactor code (round 3,
+# commit 018adfa) on the headline and 4K geometries.
+# ---------------------------------------------------------------------------
+
+HEADLINE = [  # (axis in, out) for 906x438 -> 320x196
+    (438, 196),  # H
+    (906, 320),  # W
+]
+FOURK = [  # 3840x2160 -> 1920x1080
+    (2160, 1080),  # H
+    (3840, 1920),  # W
+]
+
+PINNED_DIGIT_H = {
+    # (in, out, align) -> tile
+    (438, 196, 1): 56,
+    (438, 196, 8): 32,
+    (906, 320, 1): 80,
+    (906, 320, 8): 32,
+    (2160, 1080, 1): 56,
+    (2160, 1080, 8): 96,
+    (3840, 1920, 1): 120,
+    (3840, 1920, 8): 96,
+}
+PINNED_FLOAT_H = {
+    (438, 196): 104,
+    (906, 320): 80,
+    (2160, 1080): 120,
+    (3840, 1920): 120,
+}
+
+
+def test_digit_tile_h_picks_pinned(monkeypatch):
+    monkeypatch.delenv("IA_TPU_PIL_TILE_H", raising=False)
+    pe._pick_tile_h.cache_clear()
+    for (i, o, align), want in PINNED_DIGIT_H.items():
+        assert pe._pick_tile_h(i, o, "bilinear", align=align) == want, (
+            i, o, align)
+
+
+def test_float_tile_h_picks_pinned(monkeypatch):
+    monkeypatch.delenv("IA_TPU_FLOAT_TILE_H", raising=False)
+    for (i, o), want in PINNED_FLOAT_H.items():
+        spec = w.make_axis_spec(i, o, "bilinear")
+        assert w.pick_tile_h(spec) == want, (i, o)
+
+
+def test_digit_tile_w_pick_pinned(monkeypatch):
+    """The staged 4K->HD streamed W pick (120: K=246 -> 2 MXU passes
+    instead of 3 at width 128) survives the consolidation unchanged."""
+    monkeypatch.delenv("IA_TPU_PIL_TILE_W", raising=False)
+    monkeypatch.delenv("IA_TPU_PIL_TILE_H", raising=False)
+    _clear_pick_caches()
+    th = pe._pick_tile_h(2160, 1080, "bilinear", align=8)
+    k_rows = pe._digit_tiles(2160, 1080, "bilinear", tile=th, align=8)[0].k_in
+    assert pe._pick_tile_w(3840, 1920, "bilinear", k_rows=k_rows,
+                           tile_h=th) == 120
+
+
+def test_one_constant_source():
+    """The three pickers consume mxu_model's constants — no local copies
+    of the pass depth / fixed-cost numbers survive in the consumers."""
+    import inspect
+
+    for mod in (pe, w):
+        src = inspect.getsource(mod)
+        assert "_TILE_FIXED_COST =" not in src
+        assert "_TILE_W_FIXED_COST =" not in src
+        assert "_N_QUANT =" not in src
+    assert mxu_model.K_PASS == 128
+    assert mxu_model.k_eff(1) == 128
+    assert mxu_model.k_eff(129) == 256
+
+
+# ---------------------------------------------------------------------------
+# (b) Hardened env knobs: junk values must not crash dispatch and must
+# fall back (or round down) as documented.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("junk", ["0", "-8", "7", "999", "abc", ""])
+@pytest.mark.parametrize("knob", [
+    "IA_TPU_PIL_TILE_H",
+    "IA_TPU_PIL_TILE_W",
+    "IA_TPU_FLOAT_TILE_H",
+    "IA_TPU_FLOAT_TILE_W",
+])
+def test_junk_env_knob_does_not_crash_dispatch(rng, monkeypatch, junk, knob):
+    from PIL import Image
+
+    import interpolate_antialiasing_tpu as ia
+
+    monkeypatch.setenv(knob, junk)
+    _clear_pick_caches()
+    try:
+        img = (rng.random((2, 150, 260)) * 255).astype(np.uint8)
+        ref = np.stack([
+            np.asarray(Image.fromarray(p).resize((119, 67), Image.BILINEAR))
+            for p in img
+        ])
+        # public surface: the resize() gate (MaxAbsE <= 1) holds and
+        # dispatch does not crash, whatever the knob state
+        got = np.asarray(ia.resize(jnp.asarray(img), (67, 119),
+                                   method="bilinear"))
+        assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1, (
+            f"{knob}={junk!r}")
+        # the digit kernels (the routes the PIL knobs actually tile) keep
+        # their byte-exactness gate
+        gp = np.asarray(
+            pe._resize_pil_exact_pallas(jnp.asarray(img), 67, 119,
+                                        "bilinear"))
+        np.testing.assert_array_equal(gp, ref, err_msg=f"{knob}={junk!r}")
+        gs = np.asarray(
+            pe._resize_pil_exact_streamed(jnp.asarray(img), 67, 119,
+                                          "bilinear"))
+        np.testing.assert_array_equal(gs, ref,
+                                      err_msg=f"streamed {knob}={junk!r}")
+        # float route stays numerically sane too
+        xf = jnp.asarray(img, jnp.float32)
+        yf = np.asarray(ia.resize(xf, (67, 119), method="bilinear"))
+        assert np.abs(yf - ref.astype(np.float64)).max() <= 2.0
+    finally:
+        _clear_pick_caches()
+
+
+@pytest.mark.parametrize("raw,quantum,expect", [
+    ("0", 8, None),        # non-positive -> model pick
+    ("-8", 8, None),
+    ("abc", 8, None),      # non-integer -> model pick
+    ("", 8, None),         # empty -> unset
+    ("999", 8, 128),       # clamped to max_tile
+    ("7", 8, None),        # below granularity -> model pick
+    ("100", 8, 96),        # rounded down to quantum multiple
+    ("112", 32, 96),       # streamed H: 32-granular
+    ("96", 8, 96),         # legal value passes through
+    ("64", 32, 64),
+])
+def test_env_tile_policy(monkeypatch, raw, quantum, expect):
+    monkeypatch.setenv("IA_TPU_TEST_KNOB", raw)
+    assert mxu_model.env_tile("IA_TPU_TEST_KNOB", quantum=quantum) == expect
+
+
+def test_env_tile_unset(monkeypatch):
+    monkeypatch.delenv("IA_TPU_TEST_KNOB", raising=False)
+    assert mxu_model.env_tile("IA_TPU_TEST_KNOB", quantum=8) is None

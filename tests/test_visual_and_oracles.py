@@ -207,6 +207,11 @@ def test_bench_contract(monkeypatch):
 
     monkeypatch.setattr(timing, "time_jit_loop", fake_loop)
     monkeypatch.setattr(bench, "time_jit_loop", fake_loop, raising=False)
+    # the backend probe spawns a subprocess against the real (possibly
+    # tunnelled-TPU) environment — stub it so this contract test stays
+    # hermetic and exercises the MEASUREMENT path; the probe's own two
+    # outcomes are pinned in tests/test_bench_harness.py
+    monkeypatch.setattr(bench, "_probe_backend", lambda: (True, "cpu"))
     buf = io.StringIO()
     with redirect_stdout(buf):
         bench.main()
