@@ -29,8 +29,14 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import sys
 
 import numpy as np
+
+# runnable as `python benchmarks/epilogue_probe.py` without needing the
+# repo root pre-set on PYTHONPATH (script-dir is on sys.path, cwd is not)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _device_ms(fn, iters=50):
@@ -134,11 +140,14 @@ def probe_overlap(reps: int = 16):
     return {"probe": "overlap", "reps_per_call": reps, **out}
 
 
-def probe_components():
+def probe_components(B: int = 192, iters: int = 30,
+                     geom: tuple[int, int, int, int] | None = None):
     """Headline-geometry digit kernel with the epilogue progressively
     stubbed.  Variants share every matmul and store; only the epilogue
     arithmetic differs — byte-exactness is NOT preserved in the stubs
-    (perf probe only)."""
+    (perf probe only).  ``B``/``iters``/``geom`` shrink for the --smoke
+    trace check of every variant off-chip (interpret mode at headline
+    geometry is minutes per variant); measurements use the defaults."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -151,7 +160,7 @@ def probe_components():
         _PIL_VMEM_BUDGET,
     )
 
-    B, H, W, OH, OW = 192, 438, 906, 196, 320
+    H, W, OH, OW = geom or (438, 906, 196, 320)
     btw, bandsw, ctw = _digit_tiles(W, OW, "bilinear")
     bth, bandsh, cth = _digit_tiles(H, OH, "bilinear")
     bsz = 1
@@ -169,12 +178,43 @@ def probe_components():
                 x_ref[bi] ^ jnp.uint8(128), jnp.int8
             )
             wtiles = []
+            S_shared = None
             for t, s in enumerate(int(v) for v in btw.starts):
-                S = jax.lax.dot_general(
-                    xs[:, s : s + btw.k_in], bw_ref[t],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
+                if variant == "recombine_only":
+                    # ONE real matmul per pass, reused by every tile's
+                    # epilogue: epilogue element count, stores and data
+                    # dependencies are unchanged, matmul count collapses —
+                    # this is the serial VPU-side time of the kernel.
+                    # Together with store_only (all matmuls, no recombine)
+                    # it bounds what perfect MXU/VPU dual-issue could
+                    # reach: t_ideal = max(store_only, recombine_only).
+                    if S_shared is None:
+                        S_shared = jax.lax.dot_general(
+                            xs[:, :btw.k_in], bw_ref[0],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )
+                    S = S_shared
+                elif variant == "mxu_min":
+                    # CSE-proof twin of recombine_only: every tile keeps a
+                    # DISTINCT matmul (different weights + window, so no
+                    # scheduler can dedupe the downstream epilogues) but
+                    # the contraction is truncated to one 128-deep MXU
+                    # pass.  Brackets the serial VPU time from above:
+                    # mxu_min_ms = full per-tile epilogues + n_tiles
+                    # single-pass matmuls.
+                    kk = min(128, btw.k_in)
+                    S = jax.lax.dot_general(
+                        xs[:, s : s + kk], bw_ref[t][:kk],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                else:
+                    S = jax.lax.dot_general(
+                        xs[:, s : s + btw.k_in], bw_ref[t],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
                 if variant == "store_only":
                     v = S[:, :128]
                 else:  # arith / value_inter (the full clip-free epilogue)
@@ -233,17 +273,34 @@ def probe_components():
                 continue
             if variant == "value_inter":
                 inter = jnp.concatenate(wtiles, axis=1)
+            S_shared = None
             for t, s in enumerate(int(v) for v in bth.starts):
                 win = (
                     inter[s : s + bth.k_in, :]
                     if variant == "value_inter"
                     else scratch[bi, s : s + bth.k_in, :]
                 )
-                S = jax.lax.dot_general(
-                    bh_ref[t], win,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
+                if variant == "recombine_only":
+                    if S_shared is None:
+                        S_shared = jax.lax.dot_general(
+                            bh_ref[0], scratch[bi, : bth.k_in, :],
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )
+                    S = S_shared
+                elif variant == "mxu_min":
+                    kk = min(128, bth.k_in)
+                    S = jax.lax.dot_general(
+                        bh_ref[t][:kk], scratch[bi, s : s + kk, :],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                else:
+                    S = jax.lax.dot_general(
+                        bh_ref[t], win,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
                 if variant == "store_only":
                     u = S[:128]
                 elif variant == "no_shift":
@@ -303,12 +360,27 @@ def probe_components():
     )
 
     for variant in ("arith", "value_inter", "split_h", "no_shift",
-                    "store_only"):
+                    "store_only", "recombine_only", "mxu_min"):
         f = build(variant)
         g = _device_ms(lambda t, f=f: f(t, bw, bh, cw, ch), iters=30)
         float(g(x))
         dev = device_seconds_from_trace(lambda: float(g(x)))
         out[variant + "_ms"] = round(dev * 1e3 / 30, 4) if dev else None
+    # In-principle dual-issue floor: a scheduler that fully hid the VPU
+    # recombine under the matmuls could not beat the longer of the two
+    # one-sided kernels.  recombine_only is the serial-VPU LOWER bound
+    # (its identical per-tile subexpressions are CSE-prone); mxu_min —
+    # distinct single-pass matmuls, full epilogues — is the CSE-proof
+    # UPPER bracket.  Compare value_inter (production trace) against
+    # [floor_lo, floor_hi] when arguing how much gap is closable.
+    if out.get("store_only_ms") and out.get("recombine_only_ms"):
+        out["ideal_overlap_floor_ms"] = round(
+            max(out["store_only_ms"], out["recombine_only_ms"]), 4
+        )
+    if out.get("store_only_ms") and out.get("mxu_min_ms"):
+        out["ideal_overlap_floor_hi_ms"] = round(
+            max(out["store_only_ms"], out["mxu_min_ms"]), 4
+        )
     return out
 
 
@@ -527,7 +599,29 @@ def main():
     p.add_argument("--skip-overlap", action="store_true")
     p.add_argument("--skip-components", action="store_true")
     p.add_argument("--schedule", action="store_true")
+    p.add_argument(
+        "--smoke", action="store_true",
+        help="tiny-batch single-iteration components run (trace check "
+        "for every variant off-chip; timings meaningless)",
+    )
     args = p.parse_args()
+    if args.smoke:
+        # force the CPU backend in-process: the axon TPU plugin ignores
+        # JAX_PLATFORMS and hangs backend init when the tunnel is down —
+        # the smoke must run chip-less (same mechanism as tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print(
+            json.dumps(
+                # small downsample with 2 tiles per axis: exercises every
+                # per-tile branch (incl. S_shared reuse) at ~1/5 the
+                # headline element count
+                probe_components(B=2, iters=1, geom=(200, 300, 140, 160))
+            ),
+            flush=True,
+        )
+        return
     if args.schedule:
         print(json.dumps(probe_schedule()), flush=True)
         return

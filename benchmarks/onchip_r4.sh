@@ -13,6 +13,9 @@ set -u
 OUT=${1:-/tmp/onchip_r4}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
+# benchmark scripts import the package from the repo root; the default
+# session PYTHONPATH only carries the TPU plugin site dir
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 step() {
   name=$1; shift

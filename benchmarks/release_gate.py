@@ -146,6 +146,60 @@ def gate_headline(results: dict) -> bool:
     return mpix >= 8500.0
 
 
+def gate_bf16_video(results: dict) -> bool:
+    """BASELINE.json config 5: batch-64 bf16 3840x2160 -> 1920x1080
+    bilinear AA — the one prescribed workload that had no gate artifact
+    (VERDICT r3 weak #7 reported it as a '~5-14 Gpix/s' README spread).
+
+    Two checks: (a) accuracy — one frame through the bf16 route vs the
+    float32 route, max abs err <= 2/255 units (bf16 keeps ~8 mantissa
+    bits; the split-precision W contraction is exact in the pixels, so
+    the error budget is the bf16 intermediate rounding); (b) a sustained
+    profiler-device-time measurement recorded as THE config-5 number.
+    The perf floor (3 Gpix/s) only catches catastrophic routing
+    regressions — the measured number, not the floor, goes in the docs.
+    """
+    import jax.numpy as jnp
+
+    import interpolate_antialiasing_tpu as ia
+    from interpolate_antialiasing_tpu.utils.timing import device_time_per_call
+
+    frames, oh, ow = 64, 1080, 1920
+    rng = np.random.default_rng(7)
+    one = rng.random((2160, 3840), np.float32) * 255.0
+    ref = np.asarray(
+        ia.resize(jnp.asarray(one), (oh, ow), method="bilinear")
+    )
+    got = np.asarray(
+        ia.resize(jnp.asarray(one, jnp.bfloat16), (oh, ow), method="bilinear")
+    ).astype(np.float32)
+    err = float(np.abs(got - ref).max())
+    acc_ok = err <= 2.0
+
+    xs = np.stack([one] * frames)
+    # decorrelate so no frame constant-folds
+    xs += rng.random((frames, 1, 1), np.float32)
+    x = jnp.asarray(xs, jnp.bfloat16)
+    f = lambda t: ia.resize(t, (oh, ow), method="bilinear")
+    sec = device_time_per_call(f, x, iters=20)
+    if sec is None:  # CPU CI — report accuracy, don't gate perf
+        results["bf16_video_config5"] = {
+            "max_abs_err_vs_f32": err,
+            "device_ms_per_batch": None,
+            "gated": False,
+        }
+        return acc_ok
+    mpix = frames * oh * ow / sec / 1e6
+    results["bf16_video_config5"] = {
+        "workload": "bf16 b64 3840x2160->1920x1080 bilinear (auto route)",
+        "max_abs_err_vs_f32": err,
+        "device_ms_per_batch": round(sec * 1e3, 4),
+        "out_mpix_per_s": round(mpix, 1),
+        "timing": "profiler-device-time",
+    }
+    return acc_ok and mpix >= 3000.0
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--out", default="data/release_gate.json")
@@ -163,6 +217,7 @@ def main() -> int:
     ok &= gate_layouts(results)
     if not args.skip_bench:
         ok &= gate_headline(results)
+        ok &= gate_bf16_video(results)
     results["passed"] = bool(ok)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -48,6 +48,15 @@ TILE_FIXED_COST = 128 * 128
 #: recombine + bookkeeping).
 TILE_W_FIXED_COST = 128 * 128 * 128
 
+#: Whether the float streamed W pass uses the cost-model pick by default.
+#: The int8 ceil(K/128) quantisation is measured (mxu_geometry.py); the
+#: bf16 twin is NOT yet — flip to True only after the bf16 K sweep
+#: (mxu_geometry) and the float-W end-to-end sweep (tile_h_sweep
+#: float_4k_bf16_wpass) validate the model on chip (VERDICT r3 ask #5).
+#: Until then the default stays 128 (status quo) and
+#: ``IA_TPU_FLOAT_TILE_W`` remains the sweep override.
+FLOAT_W_MODEL_DEFAULT = False
+
 
 def round_up(x: int, m: int) -> int:
     return -(-x // m) * m

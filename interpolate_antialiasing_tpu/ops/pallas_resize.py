@@ -1219,22 +1219,31 @@ def _tiles_stream_cached_at(spec: AxisSpec, tile: int) -> BandedTiles:
 
 
 @functools.cache
-def _tiles_stream_w_cached(spec: AxisSpec) -> BandedTiles:
+def _tiles_stream_w_cached(spec: AxisSpec,
+                           spec_h: AxisSpec | None = None) -> BandedTiles:
     """W-pass tiles for the streamed kernel, optionally at a sub-128
-    output width (``IA_TPU_FLOAT_TILE_W``) padded to the fixed 128-lane
-    pitch — the float twin of ops/pil_exact._pick_tile_w's layout: the W
-    pass slices the result along LANES where only 128-multiple offsets
-    are free, so a narrower tile keeps its band in a zero-padded
-    ``[k_in, 128]`` operand (same kernel) and the caller compacts the
-    strided valid lanes once on the final output array.  Default 128
-    (status quo): unlike the int8 digit kernels, the bf16 ceil(K/128)
-    MXU quantisation is not yet measured in isolation — run
-    benchmarks/mxu_geometry.py (bf16 K sweep) and the tile_h_sweep float
-    W sweep on-chip before giving this a cost model.  Env read is cached
-    with the spec: sweeps must clear this cache after changing it."""
-    from .mxu_model import env_tile
+    output width padded to the fixed 128-lane pitch — the float twin of
+    ops/pil_exact._pick_tile_w's layout: the W pass slices the result
+    along LANES where only 128-multiple offsets are free, so a narrower
+    tile keeps its band in a zero-padded ``[k_in, 128]`` operand (same
+    kernel) and the caller compacts the strided valid lanes once on the
+    final output array.  Width resolution order:
 
-    tile = env_tile("IA_TPU_FLOAT_TILE_W", quantum=8)
+    1. ``IA_TPU_FLOAT_TILE_W`` (hardened env knob — sweeps);
+    2. the mxu_model cost-model pick, IF ``mxu_model.FLOAT_W_MODEL_DEFAULT``
+       is on and the caller provided ``spec_h`` (the model needs the
+       H-pass contraction depth) — flip the flag only after the bf16 K
+       sweep (mxu_geometry.py) and the float-W end-to-end sweep validate
+       the bf16 ceil(K/128) behaviour on chip;
+    3. 128 (status quo).
+
+    Env read is cached with the spec: sweeps must clear this cache after
+    changing it."""
+    from . import mxu_model
+
+    tile = mxu_model.env_tile("IA_TPU_FLOAT_TILE_W", quantum=8)
+    if tile is None and mxu_model.FLOAT_W_MODEL_DEFAULT and spec_h is not None:
+        tile = _pick_tile_w_float(spec, spec_h)
     if tile is None or tile >= _LANE:
         return _tiles_exact_cached(spec)
     bt = banded_tiles(spec, tile=tile, dtype=np.float32, align=1,
@@ -1242,6 +1251,40 @@ def _tiles_stream_w_cached(spec: AxisSpec) -> BandedTiles:
     band = np.zeros((bt.n_tiles, bt.k_in, _LANE), np.float32)
     band[:, :, : bt.tile] = bt.band
     return dataclasses.replace(bt, band=band)
+
+
+def _pick_tile_w_float(spec: AxisSpec, spec_h: AxisSpec) -> int:
+    """Cost-model W-tile width for the float streamed kernel — the bf16
+    twin of ops/pil_exact._pick_tile_w.  Same two-term trade: a sub-128
+    tile can drop a whole ceil(K/128) MXU pass from the W matmul, but
+    each extra W tile adds 128 zero-padded lanes the H matmul contracts
+    over plus one strided slice in the output compaction.  Under 'split'
+    precision both passes run 2 bf16 MXU passes (pixel/intermediate
+    operands are exact-bf16, the weight band is split), so the 2x cancels
+    between terms and the *relative* cost matches the int8 model with the
+    digit factor 3 replaced by 1.  Gated off by default
+    (mxu_model.FLOAT_W_MODEL_DEFAULT) until the bf16 quantisation is
+    measured — see that flag's comment."""
+    from . import mxu_model
+    from .weights import compute_tables
+
+    xmin, size, _ = compute_tables(spec, dtype=np.float32)
+    lo = xmin.astype(np.int64)
+    hi = lo + size.astype(np.int64)
+    bth = _tiles_stream_cached(spec_h)
+    k_rows, tile_h = bth.k_in, bth.tile
+    h_term = tile_h * mxu_model.round_up(k_rows, 128) * 128
+    return mxu_model.pick_tile(
+        out_size=spec.out_size,
+        in_size=spec.in_size,
+        lo=lo,
+        hi=hi,
+        cands=range(128, 63, -8),
+        per_tile_cost=lambda t, keff: (
+            k_rows * keff * 128 + h_term + mxu_model.TILE_W_FIXED_COST
+        ),
+        max_tiles=_MAX_UNROLL_TILES,
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1368,7 +1411,7 @@ def resize2d_streamed_supported(
     out_dtype = out_dtype if out_dtype is not None else (
         jnp.float32 if x.dtype == jnp.uint8 else x.dtype
     )
-    btw = _tiles_stream_w_cached(spec_w)
+    btw = _tiles_stream_w_cached(spec_w, spec_h)
     bth = _tiles_stream_cached(spec_h)
     if btw.k_in > W or bth.k_in > _round_up(H, 8):
         return False
@@ -1499,7 +1542,7 @@ def resize2d_streamed(
     B = int(np.prod(lead)) if lead else 1
     H, W = x.shape[-2], x.shape[-1]
     OH, OW = spec_h.out_size, spec_w.out_size
-    btw = _tiles_stream_w_cached(spec_w)
+    btw = _tiles_stream_w_cached(spec_w, spec_h)
     bth = _tiles_stream_cached(spec_h)
     T = bth.n_tiles
     x3 = x.reshape(B, H, W)

@@ -270,6 +270,41 @@ def test_streamed_float_tile_w_matches(rng, monkeypatch):
         pr._tiles_stream_w_cached.cache_clear()
 
 
+def test_streamed_float_tile_w_model_default_path(rng, monkeypatch):
+    """Pre-cover the gated float W-tile cost model
+    (mxu_model.FLOAT_W_MODEL_DEFAULT + pallas_resize._pick_tile_w_float)
+    so that flipping the flag after the on-chip bf16 sweep validates it
+    is a one-line change with correctness already pinned: with the flag
+    forced on, the model must return a legal 8-granular width in
+    [64, 128] for a 4K->HD-like shrink, and the streamed result through
+    the model-picked geometry must match the status-quo (tile 128)
+    result to the same gates as the env-forced test above."""
+    import interpolate_antialiasing_tpu.ops.mxu_model as mm
+    import interpolate_antialiasing_tpu.ops.pallas_resize as pr
+
+    shape, ohw, mode = (2, 150, 260), (67, 119), "bilinear"
+    spec_h = make_axis_spec(shape[-2], ohw[0], mode)
+    spec_w = make_axis_spec(shape[-1], ohw[1], mode)
+    xf = jnp.asarray(rng.random(shape).astype(np.float32) * 255.0)
+    ref_f = np.asarray(resize2d_streamed(xf, spec_h, spec_w))
+
+    pick = pr._pick_tile_w_float(spec_w, spec_h)
+    assert 64 <= pick <= 128 and pick % 8 == 0, pick
+
+    monkeypatch.setattr(mm, "FLOAT_W_MODEL_DEFAULT", True)
+    monkeypatch.delenv("IA_TPU_FLOAT_TILE_W", raising=False)
+    pr._tiles_stream_w_cached.cache_clear()
+    try:
+        btw = pr._tiles_stream_w_cached(spec_w, spec_h)
+        assert btw.tile == pick or pick == 128, (btw.tile, pick)
+        assert resize2d_streamed_supported(xf, spec_h, spec_w)
+        got_f = np.asarray(resize2d_streamed(xf, spec_h, spec_w))
+        df = np.abs(got_f - ref_f).max()
+        assert df <= 1e-3, f"model tile_w={pick}: {df}"
+    finally:
+        pr._tiles_stream_w_cached.cache_clear()
+
+
 def test_streamed_image_batching_matches_single(rng):
     """bsz > 1 (images per grid step, pallas_resize._stream_bsz): batched
     DMA windows and per-image all-W-then-all-H traces across multiple
