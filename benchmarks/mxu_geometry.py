@@ -25,6 +25,11 @@ import json
 
 import numpy as np
 
+# runnable as `python benchmarks/<this>.py` without pre-setting the
+# repo root on PYTHONPATH (script-dir is on sys.path, cwd is not)
+_r = __import__('os').path
+__import__('sys').path.insert(0, _r.dirname(_r.dirname(_r.abspath(__file__))))
+
 
 def probe(M, K, N, dtype="int8", steps=1024, reps=8):
     import jax

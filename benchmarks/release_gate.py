@@ -28,6 +28,11 @@ import time
 
 import numpy as np
 
+# runnable as `python benchmarks/<this>.py` without pre-setting the
+# repo root on PYTHONPATH (script-dir is on sys.path, cwd is not)
+_r = __import__('os').path
+__import__('sys').path.insert(0, _r.dirname(_r.dirname(_r.abspath(__file__))))
+
 MODES = ["bilinear", "bicubic", "box", "lanczos3", "hamming"]
 SIZES = [
     (196, 320),

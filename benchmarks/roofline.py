@@ -35,6 +35,11 @@ import time
 
 import numpy as np
 
+# runnable as `python benchmarks/<this>.py` without pre-setting the
+# repo root on PYTHONPATH (script-dir is on sys.path, cwd is not)
+_r = __import__('os').path
+__import__('sys').path.insert(0, _r.dirname(_r.dirname(_r.abspath(__file__))))
+
 
 def _sustained_seconds(g, lo: int, hi: int, repeats: int = 7) -> tuple[float, float]:
     """Two-point sustained seconds/iter for jitted loop-builder g(iters).

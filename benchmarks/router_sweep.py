@@ -24,6 +24,11 @@ import json
 
 import numpy as np
 
+# runnable as `python benchmarks/<this>.py` without pre-setting the
+# repo root on PYTHONPATH (script-dir is on sys.path, cwd is not)
+_r = __import__('os').path
+__import__('sys').path.insert(0, _r.dirname(_r.dirname(_r.abspath(__file__))))
+
 
 # (in_size, out_size): spans the router's decision space — small/large in,
 # shrink/grow, both sides of each current threshold (512 in, 128 out,
