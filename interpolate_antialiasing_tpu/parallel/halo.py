@@ -458,3 +458,122 @@ def resize_sharded(
     if in_dtype == jnp.uint8:
         y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0).astype(jnp.uint8)
     return y
+
+
+@functools.cache
+def _int_halo_slabs(in_h: int, oh: int, mode: str, n: int):
+    """Per-shard slabs of Pillow's integer vertical matrix on the banded
+    plan's extended-local geometry: ``Wl_int[d] in int32 [ol, ext_pad]``.
+
+    Built by scattering ``_int_matrix(in_h, oh, mode)`` (the exact
+    normalize_coeffs_8bpc integers) into the same (shard, extended-row)
+    frame ``plan_halo_banded`` uses for its float slabs — valid because
+    the integer matrix's support is never wider than the float support it
+    quantises (zeros round to zero), so the float-derived halo bound
+    covers it.  Pad/wrap rows scatter nothing and therefore carry weight
+    0, exactly like the float path."""
+    from ..ops.pil_exact import _int_matrix
+
+    plan = plan_halo_banded(in_h, oh, mode, True, n)
+    Mh = _int_matrix(in_h, oh, mode)
+    Wl = np.zeros((n, plan.ol, plan.ext_pad), np.int32)
+    rows, cols = np.nonzero(Mh)
+    for o, c in zip(rows.tolist(), cols.tolist()):
+        d = o // plan.ol
+        lcol = c - (d * plan.hl - plan.halo)
+        assert 0 <= lcol < plan.ext, "halo bound violated for int weights"
+        Wl[d, o - d * plan.ol, lcol] = Mh[o, c]
+    Wl.setflags(write=False)
+    return plan, Wl
+
+
+def resize_sharded_pil_exact(
+    x: jax.Array,
+    size,
+    mesh: Mesh,
+    axis: str = "sp",
+    mode: str = "bilinear",
+    data_format: str | None = None,
+) -> jax.Array:
+    """Byte-exact (``PIL.Image.resize`` equality) 2-D resize of a uint8
+    image whose H axis is sharded over ``mesh[axis]`` — the sharded twin
+    of ``backend="pil_exact"`` for giant images that live on several
+    devices.
+
+    :func:`resize_sharded` resamples uint8 in float32 and re-rounds
+    (MaxAbsE <= 1); this route instead reproduces Pillow's arithmetic
+    exactly: the W pass runs shard-locally in Pillow's int32 fixed point
+    and quantises to the uint8 lattice — the very intermediate
+    ImagingResample materialises between its horizontal and vertical
+    passes — those quantised rows make the two-``ppermute`` halo
+    exchange (uint8 on the wire, a quarter of the float halo bytes), and
+    the H pass contracts each shard's extended window against its slab
+    of the integer vertical matrix.  Every step equals Pillow's, so the
+    sharded result is byte-identical to single-device
+    ``resize_pil_exact`` (pinned in tests/test_parallel_extra.py over
+    the 8-device virtual mesh, divisible and ceil-padded sizes).
+
+    The local contractions take the XLA int32 dot route (correct on
+    every backend); promoting them to the digit-split int8 MXU kernels
+    is a chip-validated follow-up (docs/STATUS.md).  Reference analogue:
+    none — the reference is single-process (test.py); this is TPU-native
+    surplus on top of §2.5's spatial-parallel row.
+    """
+    from ..ops.pil_exact import _int_matrix, _pass_last_int
+    from ..ops.resize import _axes_for
+
+    if x.dtype != jnp.uint8:
+        raise TypeError(f"pil_exact sharded path is uint8-only, got {x.dtype}")
+    oh, ow = int(size[0]), int(size[1])
+    h_axis, w_axis = _axes_for(x, data_format)
+    h_axis, w_axis = h_axis % x.ndim, w_axis % x.ndim
+    in_h = x.shape[h_axis]
+    n = mesh.shape[axis]
+    plan, Wl_int = _int_halo_slabs(in_h, oh, mode, n)
+    Mw = jnp.asarray(_int_matrix(x.shape[w_axis], ow, mode))
+    Wl_dev = jnp.asarray(Wl_int)
+
+    xp = x
+    pad_rows = n * plan.hl - in_h
+    if pad_rows:
+        pad = [(0, 0)] * x.ndim
+        pad[h_axis] = (0, pad_rows)
+        xp = jnp.pad(xp, pad)
+    pspec = P(*[axis if i == h_axis else None for i in range(x.ndim)])
+    halo = plan.halo
+
+    def local(xl):
+        # W pass, fully local and exact: int32 MAC + Pillow clip8 quantise
+        yw = _pass_last_int(jnp.moveaxis(xl, w_axis, -1), Mw)
+        yw = jnp.moveaxis(yw, -1, w_axis)
+        if halo > 0:
+            fwd = [(i, (i + 1) % n) for i in range(n)]
+            bwd = [(i, (i - 1) % n) for i in range(n)]
+            top = jax.lax.ppermute(
+                jax.lax.slice_in_dim(
+                    yw, yw.shape[h_axis] - halo, None, axis=h_axis
+                ),
+                axis,
+                perm=fwd,
+            )
+            bot = jax.lax.ppermute(
+                jax.lax.slice_in_dim(yw, 0, halo, axis=h_axis),
+                axis,
+                perm=bwd,
+            )
+            ext = jnp.concatenate([top, yw, bot], axis=h_axis)
+        else:
+            ext = yw
+        pad = [(0, 0)] * ext.ndim
+        pad[h_axis] = (0, plan.ext_pad - ext.shape[h_axis])
+        ext = jnp.pad(ext, pad)
+        d = jax.lax.axis_index(axis)
+        y = _pass_last_int(jnp.moveaxis(ext, h_axis, -1), Wl_dev[d])
+        return jnp.moveaxis(y, -1, h_axis)
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=pspec, out_specs=pspec,
+                      check_vma=False)
+    y = f(xp)
+    if n * plan.ol != oh:
+        y = jax.lax.slice_in_dim(y, 0, oh, axis=h_axis)
+    return y

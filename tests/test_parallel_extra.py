@@ -55,3 +55,64 @@ def test_oracle_covers_pil_nearest(test_image):
 
     ref = pil_resize(np.asarray(test_image), (10, 12), "pil_nearest")
     assert ref.shape[-2:] == (10, 12) or ref.shape[:2] == (10, 12)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic", "lanczos3"])
+def test_resize_sharded_pil_exact_byte_identical(mode):
+    """The sharded byte-exact route (resize_sharded_pil_exact) equals
+    PIL.Image.resize and the single-device pil_exact route byte-for-byte
+    over the 8-device virtual mesh — divisible and ceil-padded sizes,
+    CHW and bare 2-D layouts."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.ops.pil_exact import resize_pil_exact
+    from interpolate_antialiasing_tpu.parallel import (
+        make_mesh,
+        resize_sharded_pil_exact,
+    )
+
+    mesh = make_mesh((8,), ("sp",))
+    rng = np.random.default_rng(99)
+    resample = {
+        "bilinear": Image.Resampling.BILINEAR,
+        "bicubic": Image.Resampling.BICUBIC,
+        "lanczos3": Image.Resampling.LANCZOS,
+    }[mode]
+    # (in_h, in_w, oh, ow): divisible by 8, ceil-padded H, non-div output
+    for H, W, oh, ow in [(96, 130, 40, 70), (97, 111, 41, 59)]:
+        img = rng.integers(0, 256, (3, H, W), dtype=np.uint8)
+        ref = np.stack([
+            np.asarray(
+                Image.fromarray(img[c]).resize((ow, oh), resample)
+            )
+            for c in range(3)
+        ])
+        got = np.asarray(
+            resize_sharded_pil_exact(jnp.asarray(img), (oh, ow), mesh,
+                                     axis="sp", mode=mode)
+        )
+        np.testing.assert_array_equal(got, ref, err_msg=f"{mode} {H}x{W}")
+        single = np.asarray(
+            resize_pil_exact(jnp.asarray(img), (oh, ow), method=mode)
+        )
+        np.testing.assert_array_equal(got, single)
+    # bare 2-D (taller image: 8 ceil-blocks must each cover their halo)
+    img2 = rng.integers(0, 256, (240, 120), dtype=np.uint8)
+    ref2 = np.asarray(Image.fromarray(img2).resize((50, 96), resample))
+    got2 = np.asarray(
+        resize_sharded_pil_exact(jnp.asarray(img2), (96, 50), mesh,
+                                 axis="sp", mode=mode)
+    )
+    np.testing.assert_array_equal(got2, ref2)
+
+
+def test_resize_sharded_pil_exact_rejects_float():
+    from interpolate_antialiasing_tpu.parallel import (
+        make_mesh,
+        resize_sharded_pil_exact,
+    )
+
+    mesh = make_mesh((8,), ("sp",))
+    with pytest.raises(TypeError, match="uint8-only"):
+        resize_sharded_pil_exact(jnp.zeros((16, 16), jnp.float32),
+                                 (8, 8), mesh)
