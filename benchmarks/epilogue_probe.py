@@ -362,10 +362,10 @@ def probe_components(B: int = 192, iters: int = 30,
     for variant in ("arith", "value_inter", "split_h", "no_shift",
                     "store_only", "recombine_only", "mxu_min"):
         f = build(variant)
-        g = _device_ms(lambda t, f=f: f(t, bw, bh, cw, ch), iters=30)
+        g = _device_ms(lambda t, f=f: f(t, bw, bh, cw, ch), iters=iters)
         float(g(x))
         dev = device_seconds_from_trace(lambda: float(g(x)))
-        out[variant + "_ms"] = round(dev * 1e3 / 30, 4) if dev else None
+        out[variant + "_ms"] = round(dev * 1e3 / iters, 4) if dev else None
     # In-principle dual-issue floor: a scheduler that fully hid the VPU
     # recombine under the matmuls could not beat the longer of the two
     # one-sided kernels.  recombine_only is the serial-VPU LOWER bound

@@ -24,6 +24,7 @@ step() {
   rc=$?
   tail -3 "$OUT/$name.log"
   echo "=== $name rc=$rc"
+  return $rc
 }
 
 # 0. is the chip actually there?
@@ -35,11 +36,20 @@ fi
 #    staged knob
 step sweep_full python benchmarks/tile_h_sweep.py
 
-# 2. retune digest: exits nonzero if any model pick is >3% off measured
-step retune python benchmarks/retune.py "$OUT/sweep_full.log"
+# 2. retune digest: exits nonzero if any model pick is >3% off measured.
+#    HARD STOP on failure: the remaining steps record the artifacts the
+#    round will commit, and recording them while a staged tile default is
+#    measurably stale is exactly what the step ordering exists to prevent.
+if ! step retune python benchmarks/retune.py "$OUT/sweep_full.log"; then
+  echo "retune flagged a stale model pick (see $OUT/retune.log) —"
+  echo "fix ops/mxu_model.py constants or revert the pick, then rerun."
+  exit 2
+fi
 
-# 3. release gate (byte-exactness x 40 + layouts + headline) -> artifact
-step release_gate python benchmarks/release_gate.py --out data/release_gate.json
+# 3. release gate (byte-exactness x 40 + layouts + headline + bf16
+#    config 5) -> artifact in the SESSION dir; copy to data/ only when
+#    committing (this script edits nothing in the repo)
+step release_gate python benchmarks/release_gate.py --out "$OUT/release_gate.json"
 
 # 4. roofline incl. the new bf16 config-5 audit -> cite in BENCHMARKS.md
 step roofline python benchmarks/roofline.py
@@ -56,6 +66,6 @@ step router python benchmarks/router_sweep.py
 step run_all python benchmarks/run_all.py
 step bench python bench.py
 
-echo "Session logs in $OUT — next: read retune.log (must be rc=0, else"
-echo "adjust ops/mxu_model.py constants or revert the pick), update"
+echo "Session logs in $OUT — next: cp $OUT/release_gate.json data/,"
+echo "update"
 echo "docs/BENCHMARKS.md + README.md numbers, commit data/ artifacts."

@@ -40,6 +40,8 @@ def sweep(name, make_call, x, oh, ow, tiles, check_exact=True):
 
     ref = _pillow_ref(np.asarray(x), oh, ow) if check_exact else None
     xd = jnp.asarray(x)
+    al = 8 if name.startswith("4k") else 1
+    seen = set()
     for t in tiles:
         pe._pick_tile_h.cache_clear()
         pe._digit_tiles.cache_clear()
@@ -49,6 +51,15 @@ def sweep(name, make_call, x, oh, ow, tiles, check_exact=True):
             os.environ.pop("IA_TPU_PIL_TILE_H", None)  # model's own pick
         else:
             os.environ["IA_TPU_PIL_TILE_H"] = str(t)
+        # the hardened env knob (mxu_model.env_tile) rounds an illegal
+        # forced width DOWN to the route's quantum (32 for streamed, 8
+        # for whole-image) — label rows by the width dispatch will
+        # actually run, and skip duplicates, so the artifact never
+        # records the same measurement under two labels
+        eff = pe._pick_tile_h(x.shape[-2], oh, "bilinear", align=al)
+        if t and eff in seen:
+            continue
+        seen.add(eff)
         try:
             f = make_call(oh, ow)
             y = f(xd)
@@ -58,16 +69,13 @@ def sweep(name, make_call, x, oh, ow, tiles, check_exact=True):
                 if check_exact else -1
             )
             ms = device_time_per_call(f, xd, iters=8) * 1e3
-            picked = pe._pick_tile_h(
-                x.shape[-2], oh, "bilinear",
-                align=8 if name.startswith("4k") else 1)
             print(json.dumps({
-                "workload": name, "tile_h": t or f"auto({picked})",
+                "workload": name, "tile_h": eff if t else f"auto({eff})",
                 "ms": round(ms, 4), "max_abs_err": err,
             }), flush=True)
         except Exception as e:  # Mosaic admission / compile failures count
             print(json.dumps({
-                "workload": name, "tile_h": t,
+                "workload": name, "tile_h": eff if t else 0,
                 "error": str(e).splitlines()[0][:120],
             }), flush=True)
     import os
@@ -91,6 +99,7 @@ def sweep_w(name, make_call, x, oh, ow, tiles, check_exact=True):
 
     ref = _pillow_ref(np.asarray(x), oh, ow) if check_exact else None
     xd = jnp.asarray(x)
+    seen = set()
     for t in tiles:
         pe._pick_tile_w.cache_clear()
         pe._digit_tiles.cache_clear()
@@ -98,6 +107,17 @@ def sweep_w(name, make_call, x, oh, ow, tiles, check_exact=True):
             os.environ.pop("IA_TPU_PIL_TILE_W", None)  # model's own pick
         else:
             os.environ["IA_TPU_PIL_TILE_W"] = str(t)
+        bth, _, _ = pe._digit_tiles(
+            x.shape[-2], oh, "bilinear", align=8,
+            tile=pe._pick_tile_h(x.shape[-2], oh, "bilinear", align=8))
+        # effective width after the hardened env clamp (see sweep());
+        # W quantum is 8 so today's candidates pass through, but the
+        # labels must track dispatch, not the forced value
+        eff = pe._pick_tile_w(x.shape[-1], ow, "bilinear",
+                              k_rows=bth.k_in, tile_h=bth.tile)
+        if t and eff in seen:
+            continue
+        seen.add(eff)
         try:
             f = make_call(oh, ow)
             y = f(xd)
@@ -107,18 +127,13 @@ def sweep_w(name, make_call, x, oh, ow, tiles, check_exact=True):
                 if check_exact else -1
             )
             ms = device_time_per_call(f, xd, iters=8) * 1e3
-            bth, _, _ = pe._digit_tiles(
-                x.shape[-2], oh, "bilinear", align=8,
-                tile=pe._pick_tile_h(x.shape[-2], oh, "bilinear", align=8))
-            picked = pe._pick_tile_w(x.shape[-1], ow, "bilinear",
-                                     k_rows=bth.k_in, tile_h=bth.tile)
             print(json.dumps({
-                "workload": name, "tile_w": t or f"auto({picked})",
+                "workload": name, "tile_w": eff if t else f"auto({eff})",
                 "ms": round(ms, 4), "max_abs_err": err,
             }), flush=True)
         except Exception as e:
             print(json.dumps({
-                "workload": name, "tile_w": t,
+                "workload": name, "tile_w": eff if t else 0,
                 "error": str(e).splitlines()[0][:120],
             }), flush=True)
     os.environ.pop("IA_TPU_PIL_TILE_W", None)
@@ -197,6 +212,7 @@ def sweep_float(args):
     for name, x, (oh, ow), kind in cases:
         sh = make_axis_spec(x.shape[-2], oh, "bilinear", True, False, None)
         sw = make_axis_spec(x.shape[-1], ow, "bilinear", True, False, None)
+        seen = set()
         for t in tiles:
             if t == 0:
                 os.environ.pop("IA_TPU_FLOAT_TILE_H", None)
@@ -204,21 +220,30 @@ def sweep_float(args):
                 os.environ["IA_TPU_FLOAT_TILE_H"] = str(t)
             pr._tiles_exact_h_cached.cache_clear()
             pr._tiles_stream_cached.cache_clear()
+            # effective width after the hardened env clamp (streamed
+            # quantum 32 rounds e.g. 112 down to 96): label by what
+            # dispatch runs, skip duplicate measurements (see sweep())
+            if kind == "onekernel":
+                eff = pick_tile_h(sh)
+            else:
+                eff = pick_tile_h(sh, align=8, cands=(128, 96, 64, 32))
+            if t and eff in seen:
+                continue
+            seen.add(eff)
             try:
                 if kind == "onekernel":
                     f = jax.jit(lambda a: pr.resize2d_onekernel(a, sh, sw))
-                    picked = pick_tile_h(sh)
                 else:
                     f = jax.jit(lambda a: pr.resize2d_streamed(a, sh, sw))
-                    picked = pick_tile_h(sh, align=8, cands=(128, 96, 64, 32))
                 f(x).block_until_ready()
                 ms = device_time_per_call(f, x, iters=8) * 1e3
                 # auto row as a string so retune.py recognises the model row
                 print(json.dumps({"workload": name,
-                                  "tile_h": t or f"auto({picked})",
+                                  "tile_h": eff if t else f"auto({eff})",
                                   "ms": round(ms, 4)}), flush=True)
             except Exception as e:
-                print(json.dumps({"workload": name, "tile_h": t,
+                print(json.dumps({"workload": name,
+                                  "tile_h": eff if t else 0,
                                   "error": str(e).splitlines()[0][:120]}),
                       flush=True)
     os.environ.pop("IA_TPU_FLOAT_TILE_H", None)
@@ -242,11 +267,22 @@ def sweep_float(args):
             f = jax.jit(lambda a: pr.resize2d_streamed(a, sh, sw))
             f(x).block_until_ready()
             ms = device_time_per_call(f, x, iters=8) * 1e3
-            # the float W default is 128 (no cost model yet): the t=0 row
-            # IS the default, tagged as a string so retune.py treats it as
-            # the model row and flags when a forced width beats it >3%
+            if t == 0:
+                # the t=0 row IS the default route, tagged as a string so
+                # retune.py treats it as the model row and flags when a
+                # forced width beats it >3%.  Compute the default LIVE
+                # (128 while mxu_model.FLOAT_W_MODEL_DEFAULT is off, the
+                # cost-model pick once it flips) so the label tracks
+                # dispatch after the planned flag flip.
+                from interpolate_antialiasing_tpu.ops import mxu_model
+
+                auto_w = (pr._pick_tile_w_float(sw, sh)
+                          if mxu_model.FLOAT_W_MODEL_DEFAULT else 128)
+                label = f"auto({auto_w})"
+            else:
+                label = t
             print(json.dumps({"workload": name + "_wpass",
-                              "tile_w": t or "auto(128)",
+                              "tile_w": label,
                               "ms": round(ms, 4)}), flush=True)
         except Exception as e:
             print(json.dumps({"workload": name + "_wpass", "tile_w": t,

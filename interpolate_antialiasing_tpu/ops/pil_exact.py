@@ -320,6 +320,43 @@ def _pass_last_int(x_u8: jax.Array, M: jax.Array) -> jax.Array:
     return _clip8(acc + (1 << (PRECISION_BITS - 1)))
 
 
+@cache
+def _int_tables(in_size: int, out_size: int, mode: str):
+    """Banded form of :func:`_int_matrix`: ``(xmin[out] int32,
+    Wb[out, ntaps] int32)`` with the same normalize_coeffs_8bpc
+    quantisation applied to the banded float64 tables — elementwise
+    identical to the dense matrix's nonzeros (``dense_matrix`` scatters
+    these very weights), without materialising ``[out, in]`` (the sharded
+    giant-image path needs tables whose size tracks the filter support,
+    not the image)."""
+    from .weights import compute_tables
+
+    spec = make_axis_spec(in_size, out_size, mode, antialias=True)
+    xmin, _, w = compute_tables(spec, dtype=np.float64)
+    scaled = w * (1 << PRECISION_BITS)
+    Wb = np.where(scaled < 0, scaled - 0.5, scaled + 0.5).astype(np.int32)
+    xmin = xmin.astype(np.int32)
+    for a in (xmin, Wb):
+        a.setflags(write=False)
+    return xmin, Wb
+
+
+def _pass_last_int_banded(
+    x_u8: jax.Array, xmin: jax.Array, Wb: jax.Array
+) -> jax.Array:
+    """uint8 [..., in] -> uint8 [..., out] via banded int32 fixed-point
+    MAC: gather each output's ``ntaps`` window and contract — the exact
+    arithmetic of :func:`_pass_last_int` without the dense ``[out, in]``
+    operand.  Out-of-window taps carry weight 0, so the index clamp can
+    never contribute."""
+    ntaps = Wb.shape[-1]
+    idx = xmin[:, None] + jnp.arange(ntaps, dtype=xmin.dtype)[None, :]
+    idx = jnp.clip(idx, 0, x_u8.shape[-1] - 1)
+    g = jnp.take(x_u8, idx, axis=-1).astype(jnp.int32)  # [..., out, ntaps]
+    acc = (g * Wb).sum(-1)
+    return _clip8(acc + (1 << (PRECISION_BITS - 1)))
+
+
 # ---------------------------------------------------------------------------
 # Pallas single-kernel digit-split pipeline (TPU fast path, bit-identical)
 # ---------------------------------------------------------------------------

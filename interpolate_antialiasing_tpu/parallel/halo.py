@@ -261,27 +261,34 @@ def _local_contract_pallas(ext3, out_size, starts_d, bands_d, WdT):
     )
 
 
+def _ring_halo_extend(xl, halo: int, n: int, axis: str, h_axis: int):
+    """Two-``ppermute`` ring halo exchange along ``h_axis``: prepend the
+    previous shard's last ``halo`` rows and append the next shard's first
+    ``halo`` rows.  Rows just above my block live at the bottom of the
+    previous shard (shift them "down" the ring), and vice versa below.
+    The wrap-around rows the first/last shard receive are garbage by
+    construction — the consuming contraction MUST give them zero weight
+    (both the float plan and the integer tables do)."""
+    if halo <= 0:
+        return xl
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    top = jax.lax.ppermute(
+        jax.lax.slice_in_dim(xl, xl.shape[h_axis] - halo, None, axis=h_axis),
+        axis,
+        perm=fwd,
+    )
+    bot = jax.lax.ppermute(
+        jax.lax.slice_in_dim(xl, 0, halo, axis=h_axis), axis, perm=bwd
+    )
+    return jnp.concatenate([top, xl, bot], axis=h_axis)
+
+
 def _halo_local_h(xl, plan: HaloPlan, n: int, axis: str, h_axis: int,
                   starts_all, bands_all, Wl, use_pallas: bool):
     """Shard-local body: ring halo exchange + banded/dense local H pass.
     ``xl`` is one shard's block with ``plan.hl`` rows along ``h_axis``."""
-    halo = plan.halo
-    if halo > 0:
-        # rows just above my block live at the bottom of the previous
-        # shard: shift them "down" the ring; and vice versa below.
-        fwd = [(i, (i + 1) % n) for i in range(n)]
-        bwd = [(i, (i - 1) % n) for i in range(n)]
-        top = jax.lax.ppermute(
-            jax.lax.slice_in_dim(xl, xl.shape[h_axis] - halo, None, axis=h_axis),
-            axis,
-            perm=fwd,
-        )
-        bot = jax.lax.ppermute(
-            jax.lax.slice_in_dim(xl, 0, halo, axis=h_axis), axis, perm=bwd
-        )
-        ext = jnp.concatenate([top, xl, bot], axis=h_axis)
-    else:
-        ext = xl
+    ext = _ring_halo_extend(xl, plan.halo, n, axis, h_axis)
     d = jax.lax.axis_index(axis)
     if use_pallas:
         pad = [(0, 0)] * ext.ndim
@@ -461,30 +468,40 @@ def resize_sharded(
 
 
 @functools.cache
-def _int_halo_slabs(in_h: int, oh: int, mode: str, n: int):
-    """Per-shard slabs of Pillow's integer vertical matrix on the banded
-    plan's extended-local geometry: ``Wl_int[d] in int32 [ol, ext_pad]``.
+def _int_halo_tables(in_h: int, oh: int, mode: str, n: int):
+    """Per-shard banded integer vertical tables on the halo plan's
+    extended-local frame: ``(plan, starts[n, ol] int32,
+    Wsh[n, ol, ntaps] int32)``.
 
-    Built by scattering ``_int_matrix(in_h, oh, mode)`` (the exact
-    normalize_coeffs_8bpc integers) into the same (shard, extended-row)
-    frame ``plan_halo_banded`` uses for its float slabs — valid because
-    the integer matrix's support is never wider than the float support it
-    quantises (zeros round to zero), so the float-derived halo bound
-    covers it.  Pad/wrap rows scatter nothing and therefore carry weight
-    0, exactly like the float path."""
-    from ..ops.pil_exact import _int_matrix
+    Built from :func:`pil_exact._int_tables` (the exact
+    normalize_coeffs_8bpc integers in banded form) shifted into each
+    shard's frame — valid because the integer weights' support is never
+    wider than the float support they quantise (zeros round to zero), so
+    the float-derived halo bound covers them.  Ceil-padding rows beyond
+    ``oh`` keep start 0 and all-zero weights; wrap-around halo rows are
+    reachable only through zero weights.  Size tracks the filter
+    support, never the image — a 100k-row image costs kilobytes of
+    tables, not a dense [oh, in_h] matrix."""
+    from ..ops.pil_exact import _int_tables
 
     plan = plan_halo_banded(in_h, oh, mode, True, n)
-    Mh = _int_matrix(in_h, oh, mode)
-    Wl = np.zeros((n, plan.ol, plan.ext_pad), np.int32)
-    rows, cols = np.nonzero(Mh)
-    for o, c in zip(rows.tolist(), cols.tolist()):
-        d = o // plan.ol
-        lcol = c - (d * plan.hl - plan.halo)
-        assert 0 <= lcol < plan.ext, "halo bound violated for int weights"
-        Wl[d, o - d * plan.ol, lcol] = Mh[o, c]
-    Wl.setflags(write=False)
-    return plan, Wl
+    xmin, Wb = _int_tables(in_h, oh, mode)
+    ntaps = Wb.shape[1]
+    starts = np.zeros((n, plan.ol), np.int32)
+    Wsh = np.zeros((n, plan.ol, ntaps), np.int32)
+    for d in range(n):
+        base = d * plan.hl - plan.halo
+        o0, o1 = d * plan.ol, min((d + 1) * plan.ol, oh)
+        for o in range(o0, o1):
+            # the plan's halo bound is derived from these same xmin
+            # windows, so every start lands inside the extended block
+            s = int(xmin[o]) - base
+            assert 0 <= s < plan.ext, "halo bound violated for int weights"
+            starts[d, o - o0] = s
+            Wsh[d, o - o0] = Wb[o]
+    for a in (starts, Wsh):
+        a.setflags(write=False)
+    return plan, starts, Wsh
 
 
 def resize_sharded_pil_exact(
@@ -507,19 +524,23 @@ def resize_sharded_pil_exact(
     ImagingResample materialises between its horizontal and vertical
     passes — those quantised rows make the two-``ppermute`` halo
     exchange (uint8 on the wire, a quarter of the float halo bytes), and
-    the H pass contracts each shard's extended window against its slab
-    of the integer vertical matrix.  Every step equals Pillow's, so the
-    sharded result is byte-identical to single-device
+    the H pass contracts each shard's extended window against its slice
+    of the banded integer vertical tables.  Every step equals Pillow's,
+    so the sharded result is byte-identical to single-device
     ``resize_pil_exact`` (pinned in tests/test_parallel_extra.py over
     the 8-device virtual mesh, divisible and ceil-padded sizes).
 
-    The local contractions take the XLA int32 dot route (correct on
-    every backend); promoting them to the digit-split int8 MXU kernels
-    is a chip-validated follow-up (docs/STATUS.md).  Reference analogue:
-    none — the reference is single-process (test.py); this is TPU-native
-    surplus on top of §2.5's spatial-parallel row.
+    Both passes are banded (windows gathered per output index, table
+    size tracks the filter support) so the giant images this route
+    exists for never materialise a dense [out, in] matrix on host or
+    device.  The local contractions take the XLA gather+MAC route
+    (correct on every backend); promoting them to the digit-split int8
+    MXU kernels is a chip-validated follow-up (docs/STATUS.md).
+    Reference analogue: none — the reference is single-process
+    (test.py); this is TPU-native surplus on top of §2.5's
+    spatial-parallel row.
     """
-    from ..ops.pil_exact import _int_matrix, _pass_last_int
+    from ..ops.pil_exact import _int_tables, _pass_last_int_banded
     from ..ops.resize import _axes_for
 
     if x.dtype != jnp.uint8:
@@ -529,9 +550,10 @@ def resize_sharded_pil_exact(
     h_axis, w_axis = h_axis % x.ndim, w_axis % x.ndim
     in_h = x.shape[h_axis]
     n = mesh.shape[axis]
-    plan, Wl_int = _int_halo_slabs(in_h, oh, mode, n)
-    Mw = jnp.asarray(_int_matrix(x.shape[w_axis], ow, mode))
-    Wl_dev = jnp.asarray(Wl_int)
+    plan, starts_h, Wsh = _int_halo_tables(in_h, oh, mode, n)
+    xmin_w, Wb_w = _int_tables(x.shape[w_axis], ow, mode)
+    xmin_w_dev, wb_w_dev = jnp.asarray(xmin_w), jnp.asarray(Wb_w)
+    starts_dev, wsh_dev = jnp.asarray(starts_h), jnp.asarray(Wsh)
 
     xp = x
     pad_rows = n * plan.hl - in_h
@@ -540,35 +562,18 @@ def resize_sharded_pil_exact(
         pad[h_axis] = (0, pad_rows)
         xp = jnp.pad(xp, pad)
     pspec = P(*[axis if i == h_axis else None for i in range(x.ndim)])
-    halo = plan.halo
 
     def local(xl):
         # W pass, fully local and exact: int32 MAC + Pillow clip8 quantise
-        yw = _pass_last_int(jnp.moveaxis(xl, w_axis, -1), Mw)
+        yw = _pass_last_int_banded(
+            jnp.moveaxis(xl, w_axis, -1), xmin_w_dev, wb_w_dev
+        )
         yw = jnp.moveaxis(yw, -1, w_axis)
-        if halo > 0:
-            fwd = [(i, (i + 1) % n) for i in range(n)]
-            bwd = [(i, (i - 1) % n) for i in range(n)]
-            top = jax.lax.ppermute(
-                jax.lax.slice_in_dim(
-                    yw, yw.shape[h_axis] - halo, None, axis=h_axis
-                ),
-                axis,
-                perm=fwd,
-            )
-            bot = jax.lax.ppermute(
-                jax.lax.slice_in_dim(yw, 0, halo, axis=h_axis),
-                axis,
-                perm=bwd,
-            )
-            ext = jnp.concatenate([top, yw, bot], axis=h_axis)
-        else:
-            ext = yw
-        pad = [(0, 0)] * ext.ndim
-        pad[h_axis] = (0, plan.ext_pad - ext.shape[h_axis])
-        ext = jnp.pad(ext, pad)
+        ext = _ring_halo_extend(yw, plan.halo, n, axis, h_axis)
         d = jax.lax.axis_index(axis)
-        y = _pass_last_int(jnp.moveaxis(ext, h_axis, -1), Wl_dev[d])
+        y = _pass_last_int_banded(
+            jnp.moveaxis(ext, h_axis, -1), starts_dev[d], wsh_dev[d]
+        )
         return jnp.moveaxis(y, -1, h_axis)
 
     f = jax.shard_map(local, mesh=mesh, in_specs=pspec, out_specs=pspec,

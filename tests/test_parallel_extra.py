@@ -116,3 +116,31 @@ def test_resize_sharded_pil_exact_rejects_float():
     with pytest.raises(TypeError, match="uint8-only"):
         resize_sharded_pil_exact(jnp.zeros((16, 16), jnp.float32),
                                  (8, 8), mesh)
+
+
+def test_resize_sharded_pil_exact_tall_image_banded():
+    """The giant-image use case the route documents: a tall input must
+    byte-match PIL without any dense [out, in] matrix — the integer
+    tables are banded (size tracks filter support), so this would OOM
+    long before 4096 rows if a dense build crept back in."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.ops.pil_exact import _int_tables
+    from interpolate_antialiasing_tpu.parallel import (
+        make_mesh,
+        resize_sharded_pil_exact,
+    )
+
+    xmin, Wb = _int_tables(4096, 1024, "bilinear")
+    assert Wb.shape[0] == 1024 and Wb.shape[1] <= 16  # banded, not dense
+
+    mesh = make_mesh((8,), ("sp",))
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (4096, 256), dtype=np.uint8)
+    ref = np.asarray(
+        Image.fromarray(img).resize((128, 1024), Image.Resampling.BILINEAR)
+    )
+    got = np.asarray(
+        resize_sharded_pil_exact(jnp.asarray(img), (1024, 128), mesh)
+    )
+    np.testing.assert_array_equal(got, ref)
