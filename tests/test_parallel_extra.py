@@ -144,3 +144,26 @@ def test_resize_sharded_pil_exact_tall_image_banded():
         resize_sharded_pil_exact(jnp.asarray(img), (1024, 128), mesh)
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_resize_sharded_pil_exact_nhwc():
+    """channels-last layout through the sharded byte-exact route: the H
+    axis (-3 under NHWC) is the sharded one; byte-equality vs PIL."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.parallel import (
+        make_mesh,
+        resize_sharded_pil_exact,
+    )
+
+    mesh = make_mesh((8,), ("sp",))
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (160, 100, 3), dtype=np.uint8)
+    ref = np.asarray(
+        Image.fromarray(img).resize((48, 72), Image.Resampling.BILINEAR)
+    )
+    got = np.asarray(
+        resize_sharded_pil_exact(jnp.asarray(img), (72, 48), mesh,
+                                 data_format="NHWC")
+    )
+    np.testing.assert_array_equal(got, ref)
