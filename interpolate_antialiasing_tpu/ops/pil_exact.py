@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .weights import _round_up, dense_matrix, make_axis_spec
+from .weights import _round_up, make_axis_spec
 
 __all__ = ["resize_pil_exact", "PRECISION_BITS"]
 
@@ -60,12 +60,16 @@ PRECISION_BITS = 32 - 8 - 2  # Pillow Resample.c
 def _int_matrix(in_size: int, out_size: int, mode: str) -> np.ndarray:
     """Dense [out, in] int32 coefficient matrix, Pillow-normalised
     (normalize_coeffs_8bpc: trunc(w * 2^22 ± 0.5), i.e. round half away
-    from zero — applied to the float64 banded matrix, whose zeros quantise
-    to zero)."""
-    spec = make_axis_spec(in_size, out_size, mode, antialias=True)
-    W = dense_matrix(spec, dtype=np.float64)
-    scaled = W * (1 << PRECISION_BITS)
-    return np.where(scaled < 0, scaled - 0.5, scaled + 0.5).astype(np.int32)
+    from zero, zeros quantising to zero).  Scatter of the banded
+    :func:`_int_tables` — the quantisation itself lives there, once."""
+    xmin, Wb = _int_tables(in_size, out_size, mode)
+    ntaps = Wb.shape[1]
+    K = np.zeros((out_size, in_size), np.int32)
+    rows = np.repeat(np.arange(out_size), ntaps)
+    cols = (xmin[:, None].astype(np.int64) + np.arange(ntaps)[None, :]).reshape(-1)
+    keep = (cols >= 0) & (cols < in_size)
+    K[rows[keep], cols[keep]] = Wb.reshape(-1)[keep]
+    return K
 
 
 @cache

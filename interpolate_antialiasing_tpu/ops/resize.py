@@ -81,7 +81,10 @@ def _on_tpu() -> bool:
         return False
 
 
-def _warn_f64_fallback_once() -> None:
+_f64_warned = False
+
+
+def _note_f64(x: jax.Array, spec: AxisSpec) -> None:
     """One-time notice that float64 runs on the XLA fallback path.
 
     The reference dispatches double through the same native kernels as
@@ -92,20 +95,6 @@ def _warn_f64_fallback_once() -> None:
     check_grads through it) but far below the f32/bf16 kernel rate.  Warn
     once so a large-f64 production resize is never *silently* slow
     (VERDICT r3 'what's missing' #2)."""
-    import warnings
-
-    warnings.warn(
-        "float64 resize runs on the XLA fallback path (the TPU MXU has no "
-        "f64 mode); cast to float32/bfloat16 for the fast Pallas kernels "
-        "if ~1e-7 relative error is acceptable",
-        stacklevel=4,
-    )
-
-
-_f64_warned = False
-
-
-def _note_f64(x: jax.Array, spec: AxisSpec) -> None:
     global _f64_warned
     if (
         not _f64_warned
@@ -115,7 +104,14 @@ def _note_f64(x: jax.Array, spec: AxisSpec) -> None:
         and spec.in_size * spec.out_size > (1 << 20)
     ):
         _f64_warned = True
-        _warn_f64_fallback_once()
+        import warnings
+
+        warnings.warn(
+            "float64 resize runs on the XLA fallback path (the TPU MXU has "
+            "no f64 mode); cast to float32/bfloat16 for the fast Pallas "
+            "kernels if ~1e-7 relative error is acceptable",
+            stacklevel=3,
+        )
 
 
 def _apply_axis(x: jax.Array, spec: AxisSpec, axis: int, backend: str) -> jax.Array:

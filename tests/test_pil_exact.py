@@ -454,3 +454,26 @@ def test_pick_tile_h_is_8_granular_and_bounded():
         for align in (1, 8):
             t = pe._pick_tile_h(in_size, out_size, mode, align=align)
             assert 32 <= t <= 128 and t % 8 == 0
+
+
+def test_int_matrix_is_scatter_of_int_tables():
+    """_int_matrix (dense) must stay the exact scatter of _int_tables
+    (banded) — the quantisation lives once, in the banded builder, and
+    both the single-device digit kernels and the sharded route consume
+    the same integers."""
+    from interpolate_antialiasing_tpu.ops.pil_exact import (
+        _int_matrix, _int_tables,
+    )
+
+    for in_size, out_size, mode in [(906, 320, "bilinear"), (97, 41, "lanczos3"),
+                                    (50, 125, "bicubic")]:
+        K = _int_matrix(in_size, out_size, mode)
+        xmin, Wb = _int_tables(in_size, out_size, mode)
+        K2 = np.zeros_like(K)
+        for o in range(out_size):
+            for j in range(Wb.shape[1]):
+                c = int(xmin[o]) + j
+                if 0 <= c < in_size and Wb[o, j]:
+                    K2[o, c] = Wb[o, j]
+        np.testing.assert_array_equal(K, K2, err_msg=f"{in_size}->{out_size} {mode}")
+        assert K.dtype == np.int32
