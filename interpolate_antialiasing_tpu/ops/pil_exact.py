@@ -362,6 +362,88 @@ def _pass_last_int_banded(
 
 
 # ---------------------------------------------------------------------------
+# Dynamic digit mid-axis pass (sharded byte-exact route's MXU promotion)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_mid_digit(starts_ref, x_ref, band_ref, ct_ref, o_ref, *,
+                      k_in, clip):
+    """out[1, 128, WT] u8 = clip8(digit-recombine(band[j]^T @ (x-128))).
+
+    The int8-digit twin of pallas_resize._kernel_mid: band values, window
+    starts, and rounding constants are TRACED operands (each shard_map
+    device selects its shard's tables with lax.axis_index outside), only
+    the geometry (n_tiles, k_in) is static.  Digit planes stack along
+    result sublanes [d0 | d1 | d2], exactly _digit_tiles' H layout."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(2)
+    s = pl.multiple_of(starts_ref[j], 8)
+    xs = jax.lax.bitcast_convert_type(
+        x_ref[0, pl.ds(s, k_in), :] ^ jnp.uint8(128), jnp.int8
+    )
+    S = jax.lax.dot_general(
+        band_ref[j], xs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [3*128, WT]
+    u = _fixup_int(S[:128], S[128:256], S[256:], ct_ref[j][:, None],
+                   clip=clip)
+    o_ref[0, :, :] = u.astype(jnp.uint8)
+
+
+def digit_pass_mid_dynamic(
+    x3: jax.Array,
+    starts: jax.Array,
+    bands: jax.Array,
+    ct: jax.Array,
+    out_size: int,
+    clip: bool = True,
+) -> jax.Array:
+    """Axis-1 Pillow-exact integer contraction with traced digit tables.
+
+    ``x3 [B, IN, W] uint8`` (the quantised intermediate), ``starts
+    [n_tiles] int32`` (8-aligned, ``start + k_in <= IN`` after row
+    padding), ``bands [n_tiles, k_in, 3*128] int8`` (balanced base-256
+    digit planes side by side along lanes), ``ct [n_tiles, 128] int32``
+    (``128*colsum + 2^(PB-1)`` per output row) -> ``[B, out_size, W]``
+    uint8, bit-identical to the dense integer pass.  The banded float
+    counterpart is pallas_resize.banded_pass_mid_dynamic."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, IN, W = x3.shape
+    n_tiles, k_in, lanes3 = bands.shape
+    assert lanes3 == 3 * 128
+    in_pad = max(_round_up(IN, 8), k_in)
+    out_padded = n_tiles * 128
+    # per-step W chunk: the x window [in_pad, wt] u8 is the big operand
+    wt = min(512, (_PIL_VMEM_BUDGET // 3) // max(in_pad, 1))
+    wt = max(128, (wt // 128) * 128)
+    w_pad = _round_up(max(W, wt), wt)
+    x3 = jnp.pad(x3, ((0, 0), (0, in_pad - IN), (0, w_pad - W)))
+    from functools import partial as _partial
+
+    y = pl.pallas_call(
+        _partial(_kernel_mid_digit, k_in=k_in, clip=clip),
+        out_shape=jax.ShapeDtypeStruct((B, out_padded, w_pad), jnp.uint8),
+        grid=(B, w_pad // wt, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, in_pad, wt), lambda b, c, j: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, k_in, 3 * 128), lambda b, c, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 128), lambda b, c, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128, wt), lambda b, c, j: (b, j, c),
+                               memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(starts.astype(jnp.int32), x3, bands, ct)
+    return y[:, :out_size, :W]
+
+
+# ---------------------------------------------------------------------------
 # Pallas single-kernel digit-split pipeline (TPU fast path, bit-identical)
 # ---------------------------------------------------------------------------
 

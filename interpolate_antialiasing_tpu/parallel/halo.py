@@ -511,6 +511,7 @@ def resize_sharded_pil_exact(
     axis: str = "sp",
     mode: str = "bilinear",
     data_format: str | None = None,
+    use_tpu_kernels: bool | None = None,
 ) -> jax.Array:
     """Byte-exact (``PIL.Image.resize`` equality) 2-D resize of a uint8
     image whose H axis is sharded over ``mesh[axis]`` — the sharded twin
@@ -533,14 +534,41 @@ def resize_sharded_pil_exact(
     Both passes are banded (windows gathered per output index, table
     size tracks the filter support) so the giant images this route
     exists for never materialise a dense [out, in] matrix on host or
-    device.  The local contractions take the XLA gather+MAC route
-    (correct on every backend); promoting them to the digit-split int8
-    MXU kernels is a chip-validated follow-up (docs/STATUS.md).
+    device.
+
+    Two byte-identical execution paths, like the single-device backend:
+
+    * **XLA gather+MAC** (default): int32 windows contraction — correct
+      and portable.
+    * **int8 digit MXU kernels** (``use_tpu_kernels=True``, or env
+      ``IA_TPU_SHARDED_PIL_PALLAS=1``): the W pass runs the EXISTING
+      fused digit kernels as a (hl, W) -> (hl, OW) resize — the derived
+      vertical tables for out==in quantise to the exact identity for
+      every Pillow filter (all of them are 1 at integer positions and 0
+      at other integers), so the fused kernel's second pass is a
+      byte-exact no-op re-quantisation — and the H pass runs
+      ``pil_exact.digit_pass_mid_dynamic`` with per-shard digit tables
+      (``_digit_halo_tables``) selected by ``lax.axis_index``.  Gated
+      OFF by default until measured on chip (the round-3 lesson: no
+      unmeasured defaults in the auto route); byte-equality of the
+      promoted path is pinned in interpret mode either way.
+
     Reference analogue: none — the reference is single-process
     (test.py); this is TPU-native surplus on top of §2.5's
     spatial-parallel row.
     """
-    from ..ops.pil_exact import _int_tables, _pass_last_int_banded
+    import os
+
+    from ..ops.pil_exact import (
+        _int_tables,
+        _needs_clip,
+        _pass_last_int_banded,
+        _resize_pil_exact_pallas,
+        _resize_pil_exact_streamed,
+        digit_pass_mid_dynamic,
+        pil_exact_pallas_supported,
+        pil_exact_streamed_supported,
+    )
     from ..ops.resize import _axes_for
 
     if x.dtype != jnp.uint8:
@@ -555,6 +583,26 @@ def resize_sharded_pil_exact(
     xmin_w_dev, wb_w_dev = jnp.asarray(xmin_w), jnp.asarray(Wb_w)
     starts_dev, wsh_dev = jnp.asarray(starts_h), jnp.asarray(Wsh)
 
+    if use_tpu_kernels is None:
+        use_tpu_kernels = os.environ.get("IA_TPU_SHARDED_PIL_PALLAS") == "1"
+    # digit promotion needs the image axes trailing ([..., H, W]); other
+    # layouts keep the (byte-identical) gather route
+    promote = bool(use_tpu_kernels) and (h_axis, w_axis) == (
+        x.ndim - 2, x.ndim - 1
+    )
+    w_fn = dig_tabs = None
+    if promote:
+        lead = int(np.prod(x.shape[:-2])) if x.ndim > 2 else 1
+        wshape = (lead, plan.hl, x.shape[w_axis])
+        if pil_exact_pallas_supported(wshape, plan.hl, ow, mode):
+            w_fn = _resize_pil_exact_pallas
+        elif pil_exact_streamed_supported(wshape, plan.hl, ow, mode):
+            w_fn = _resize_pil_exact_streamed
+        _, dstarts, dbands, dct = _digit_halo_tables(in_h, oh, mode, n)
+        dig_tabs = (jnp.asarray(dstarts), jnp.asarray(dbands),
+                    jnp.asarray(dct))
+        clip_h = _needs_clip(in_h, oh, mode)
+
     xp = x
     pad_rows = n * plan.hl - in_h
     if pad_rows:
@@ -564,13 +612,25 @@ def resize_sharded_pil_exact(
     pspec = P(*[axis if i == h_axis else None for i in range(x.ndim)])
 
     def local(xl):
-        # W pass, fully local and exact: int32 MAC + Pillow clip8 quantise
-        yw = _pass_last_int_banded(
-            jnp.moveaxis(xl, w_axis, -1), xmin_w_dev, wb_w_dev
-        )
-        yw = jnp.moveaxis(yw, -1, w_axis)
+        # W pass, fully local and exact: either the fused digit kernels
+        # with the identity vertical table (promoted) or int32 gather MAC
+        if w_fn is not None:
+            x3 = xl.reshape(-1, plan.hl, xl.shape[-1])
+            yw = w_fn(x3, plan.hl, ow, mode).reshape(*xl.shape[:-1], ow)
+        else:
+            yw = _pass_last_int_banded(
+                jnp.moveaxis(xl, w_axis, -1), xmin_w_dev, wb_w_dev
+            )
+            yw = jnp.moveaxis(yw, -1, w_axis)
         ext = _ring_halo_extend(yw, plan.halo, n, axis, h_axis)
         d = jax.lax.axis_index(axis)
+        if dig_tabs is not None:
+            dstarts, dbands, dct = dig_tabs
+            ext3 = ext.reshape(-1, ext.shape[h_axis], ow)
+            y3 = digit_pass_mid_dynamic(
+                ext3, dstarts[d], dbands[d], dct[d], plan.ol, clip=clip_h
+            )
+            return y3.reshape(*ext.shape[:-2], plan.ol, ow)
         y = _pass_last_int_banded(
             jnp.moveaxis(ext, h_axis, -1), starts_dev[d], wsh_dev[d]
         )
@@ -582,3 +642,63 @@ def resize_sharded_pil_exact(
     if n * plan.ol != oh:
         y = jax.lax.slice_in_dim(y, 0, oh, axis=h_axis)
     return y
+
+
+@functools.cache
+def _digit_halo_tables(in_h: int, oh: int, mode: str, n: int):
+    """Per-shard tile-compacted int8 digit tables for the sharded
+    byte-exact H pass: ``(plan, starts[n, n_tiles] int32 8-aligned,
+    bands[n, n_tiles, k_in, 3*128] int8, ct[n, n_tiles, 128] int32)``.
+
+    The digit twin of :func:`_int_halo_tables`, laid out exactly like
+    ops/pil_exact._digit_tiles' H bands (digit planes [d0|d1|d2] along
+    result sublanes, ``ct = 128*colsum + 2^(PB-1)``) but with SHARD-
+    UNIFORM geometry (one (n_tiles, k_in) across shards) so a single
+    shard_map program can select its shard's values by ``lax.axis_index``
+    and feed them to pil_exact.digit_pass_mid_dynamic as traced
+    operands."""
+    from ..ops.pil_exact import PRECISION_BITS, _split_digits
+
+    plan, row_starts, Wsh = _int_halo_tables(in_h, oh, mode, n)
+    ntaps = Wsh.shape[2]
+    tile = 128
+    n_tiles = -(-plan.ol // tile)
+    ext_pad = _round_up(plan.ext, 8)
+    los = np.zeros((n, n_tiles), np.int64)
+    k_in = 8
+    for d in range(n):
+        for t in range(n_tiles):
+            o0, o1 = t * tile, min((t + 1) * tile, plan.ol)
+            nz = Wsh[d, o0:o1].any(axis=1)
+            if not nz.any():  # pad rows only (beyond oh)
+                continue
+            rs = row_starts[d, o0:o1][nz].astype(np.int64)
+            last = ntaps - 1 - np.argmax(
+                Wsh[d, o0:o1][nz, ::-1] != 0, axis=1
+            )
+            los[d, t] = (int(rs.min()) // 8) * 8
+            k_in = max(k_in, int((rs + last).max()) + 1 - int(los[d, t]))
+    k_in = min(_round_up(k_in, 8), ext_pad)
+    starts = np.minimum(los, max(ext_pad - k_in, 0)).astype(np.int32)
+
+    Kb = np.zeros((n, n_tiles, k_in, tile), np.int32)
+    ct = np.zeros((n, n_tiles, tile), np.int64)
+    for d in range(n):
+        for t in range(n_tiles):
+            s = int(starts[d, t])
+            o0, o1 = t * tile, min((t + 1) * tile, plan.ol)
+            for o in range(o0, o1):
+                r0 = int(row_starts[d, o]) - s
+                w = Wsh[d, o]
+                for j in np.nonzero(w)[0]:
+                    assert 0 <= r0 + j < k_in, "digit window underestimated"
+                    Kb[d, t, r0 + int(j), o - o0] = int(w[j])
+                ct[d, t, o - o0] = 128 * int(w.sum())
+    ct += 1 << (PRECISION_BITS - 1)
+    assert np.abs(ct).max() < 2**31
+    D = _split_digits(Kb)  # [3, n, n_tiles, k_in, 128] int8
+    bands = np.concatenate([D[0], D[1], D[2]], axis=-1)
+    ct = ct.astype(np.int32)
+    for a in (starts, bands, ct):
+        a.setflags(write=False)
+    return plan, starts, bands, ct

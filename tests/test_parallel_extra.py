@@ -167,3 +167,44 @@ def test_resize_sharded_pil_exact_nhwc():
                                  data_format="NHWC")
     )
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic", "lanczos3", "box"])
+def test_resize_sharded_pil_exact_digit_promotion(mode):
+    """use_tpu_kernels=True promotes the shard-local passes to the int8
+    digit MXU kernels (W: fused kernels with the identity vertical table;
+    H: digit_pass_mid_dynamic with per-shard tables) — byte-identical to
+    PIL and to the default gather route, interpret mode on the 8-device
+    mesh.  The identity-table claim (every Pillow filter quantises to the
+    exact identity at out==in) is what makes the W reuse legal; byte
+    equality here pins it for each mode."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.parallel import (
+        make_mesh,
+        resize_sharded_pil_exact,
+    )
+
+    mesh = make_mesh((8,), ("sp",))
+    rng = np.random.default_rng(7)
+    resample = {
+        "bilinear": Image.Resampling.BILINEAR,
+        "bicubic": Image.Resampling.BICUBIC,
+        "lanczos3": Image.Resampling.LANCZOS,
+        "box": Image.Resampling.BOX,
+    }[mode]
+    img = rng.integers(0, 256, (2, 520, 260), dtype=np.uint8)
+    ref = np.stack([
+        np.asarray(Image.fromarray(img[c]).resize((120, 250), resample))
+        for c in range(2)
+    ])
+    got = np.asarray(
+        resize_sharded_pil_exact(jnp.asarray(img), (250, 120), mesh,
+                                 mode=mode, use_tpu_kernels=True)
+    )
+    np.testing.assert_array_equal(got, ref, err_msg=mode)
+    base = np.asarray(
+        resize_sharded_pil_exact(jnp.asarray(img), (250, 120), mesh,
+                                 mode=mode, use_tpu_kernels=False)
+    )
+    np.testing.assert_array_equal(got, base)
