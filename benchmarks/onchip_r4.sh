@@ -61,6 +61,10 @@ step mxu_geometry python benchmarks/mxu_geometry.py
 # 6. epilogue probe (overlap + component split for the 0.10 ms gap, ask #4)
 step epilogue python benchmarks/epilogue_probe.py
 
+# 6b. sharded-route local kernels, gather vs digit MXU (n=1 tables —
+#     decides whether the round-4 promotion becomes the TPU default)
+step sharded_digit python benchmarks/sharded_digit_probe.py
+
 # 7. router crossover re-check + full workload matrix + driver bench
 step router python benchmarks/router_sweep.py
 step run_all python benchmarks/run_all.py
