@@ -477,3 +477,35 @@ def test_int_matrix_is_scatter_of_int_tables():
                     K2[o, c] = Wb[o, j]
         np.testing.assert_array_equal(K, K2, err_msg=f"{in_size}->{out_size} {mode}")
         assert K.dtype == np.int32
+
+
+def test_digit_pass_mid_dynamic_multi_tile_chunk():
+    """digit_pass_mid_dynamic across >1 output tiles AND >1 W chunks
+    (the grid shape the on-chip 4K probe runs) — byte-identical to the
+    banded gather reference, n=1 degenerate tables."""
+    import jax.numpy as jnp
+
+    from interpolate_antialiasing_tpu.ops.pil_exact import (
+        _needs_clip,
+        _pass_last_int_banded,
+        digit_pass_mid_dynamic,
+    )
+    from interpolate_antialiasing_tpu.parallel.halo import (
+        _digit_halo_tables,
+        _int_halo_tables,
+    )
+
+    H, OH, OW, B = 520, 250, 700, 2  # 2 row tiles, 2 lane chunks
+    rng = np.random.default_rng(3)
+    inter = jnp.asarray(rng.integers(0, 256, (B, H, OW), np.uint8))
+    _, rs, Wsh = _int_halo_tables(H, OH, "bicubic", 1)
+    _, ds, db, dc = _digit_halo_tables(H, OH, "bicubic", 1)
+    assert db.shape[1] >= 2, "geometry must exercise multiple tiles"
+    ref = np.asarray(jnp.moveaxis(
+        _pass_last_int_banded(jnp.moveaxis(inter, -2, -1),
+                              jnp.asarray(rs[0]), jnp.asarray(Wsh[0])),
+        -1, -2))
+    got = np.asarray(digit_pass_mid_dynamic(
+        inter, jnp.asarray(ds[0]), jnp.asarray(db[0]), jnp.asarray(dc[0]),
+        OH, clip=_needs_clip(H, OH, "bicubic")))
+    np.testing.assert_array_equal(got, ref)
