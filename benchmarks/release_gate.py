@@ -164,6 +164,7 @@ def gate_bf16_video(results: dict) -> bool:
     The perf floor (3 Gpix/s) only catches catastrophic routing
     regressions — the measured number, not the floor, goes in the docs.
     """
+    import jax
     import jax.numpy as jnp
 
     import interpolate_antialiasing_tpu as ia
@@ -180,6 +181,17 @@ def gate_bf16_video(results: dict) -> bool:
     ).astype(np.float32)
     err = float(np.abs(got - ref).max())
     acc_ok = err <= 2.0
+
+    if jax.default_backend() != "tpu":
+        # device_time_per_call would RUN the 2x20-iteration batch-64 4K
+        # loop on CPU before reporting "no profiler" — skip the perf half
+        # off-chip, keep the accuracy half
+        results["bf16_video_config5"] = {
+            "max_abs_err_vs_f32": err,
+            "device_ms_per_batch": None,
+            "gated": False,
+        }
+        return acc_ok
 
     xs = np.stack([one] * frames)
     # decorrelate so no frame constant-folds
