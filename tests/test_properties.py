@@ -115,3 +115,33 @@ def test_adjoint_identity_f64(g, seed):
     lhs = float(jnp.vdot(yb, y))
     rhs = float(jnp.vdot(xb, x))
     assert abs(lhs - rhs) <= 1e-9 * max(1.0, abs(lhs)), (g, lhs, rhs)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.tuples(
+        st.integers(4, 48),
+        st.integers(4, 48),
+        st.integers(3, 64),
+        st.integers(3, 64),
+        st.sampled_from(["bilinear", "bicubic"]),
+    ),
+    st.integers(0, 2**31 - 1),
+)
+def test_torch_aa_parity_searched(g, seed):
+    """Searched parity with torch.nn.functional.interpolate(antialias=True)
+    — the reference's own upstreamed behaviour — on arbitrary geometry
+    (the fixed-size parity suite is tests/test_torch_parity.py; same
+    2e-4 float32 gate)."""
+    import torch
+    import torch.nn.functional as F
+
+    H, W, oh, ow, mode = g
+    x = np.random.default_rng(seed).standard_normal((1, 2, H, W)).astype(np.float32)
+    ref = F.interpolate(
+        torch.from_numpy(x), size=(oh, ow), mode=mode, antialias=True
+    ).numpy()
+    y = np.asarray(
+        ia.interpolate(jnp.asarray(x), size=(oh, ow), mode=mode, antialias=True)
+    )
+    np.testing.assert_allclose(y, ref, atol=2e-4, rtol=1e-6, err_msg=str(g))
