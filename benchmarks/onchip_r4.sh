@@ -20,7 +20,10 @@ export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 step() {
   name=$1; shift
   echo "=== $name: $* (-> $OUT/$name.log)"
-  timeout 3000 "$@" >"$OUT/$name.log" 2>"$OUT/$name.err"
+  # the full tile sweep (dozens of forced-width compiles on a tunnel
+  # that can stall minutes) gets double the budget of the other steps
+  t=3000; [ "$name" = sweep_full ] && t=6000
+  timeout "$t" "$@" >"$OUT/$name.log" 2>"$OUT/$name.err"
   rc=$?
   tail -3 "$OUT/$name.log"
   echo "=== $name rc=$rc"
