@@ -145,3 +145,21 @@ def test_torch_aa_parity_searched(g, seed):
         ia.interpolate(jnp.asarray(x), size=(oh, ow), mode=mode, antialias=True)
     )
     np.testing.assert_allclose(y, ref, atol=2e-4, rtol=1e-6, err_msg=str(g))
+
+
+@settings(max_examples=15, deadline=None)
+@given(geom, st.integers(0, 2**31 - 1),
+       st.floats(-3, 3, allow_nan=False), st.floats(-3, 3, allow_nan=False))
+def test_linearity_float_path(g, seed, a, b):
+    """The float forward is LINEAR: f(a*x + b*z) == a*f(x) + b*f(z).
+    Pins that no clamp/quantise step leaks into the float path (those
+    belong to the uint8 routes only) — the property the custom-primitive
+    jvp/transpose rules rely on."""
+    H, W, oh, ow, mode = g
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((H, W)), jnp.float64)
+    z = jnp.asarray(rng.standard_normal((H, W)), jnp.float64)
+    f = lambda t: ia.resize(t, (oh, ow), method=mode, backend="dense")
+    lhs = np.asarray(f(a * x + b * z))
+    rhs = a * np.asarray(f(x)) + b * np.asarray(f(z))
+    np.testing.assert_allclose(lhs, rhs, atol=1e-12, rtol=1e-12)
