@@ -208,3 +208,34 @@ def test_resize_sharded_pil_exact_digit_promotion(mode):
                                  mode=mode, use_tpu_kernels=False)
     )
     np.testing.assert_array_equal(got, base)
+
+
+def test_resize_sharded_pil_exact_comm_pattern_hlo():
+    """Pin the sharded byte-exact route's communication story in compiled
+    HLO: the only collectives are the two neighbour collective-permutes
+    of the halo exchange (u8 intermediate rows riding the ICI ring) — no
+    all-gather / all-reduce / all-to-all / reduce-scatter may appear (an
+    accidental full-H gather would still be byte-correct, so only the
+    HLO can catch the regression)."""
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from interpolate_antialiasing_tpu.parallel import (
+        make_mesh,
+        resize_sharded_pil_exact,
+    )
+
+    mesh = make_mesh((8,), ("sp",))
+    sh = NamedSharding(mesh, P(None, "sp", None))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, (2, 240, 96), np.uint8))
+    f = jax.jit(
+        lambda t: resize_sharded_pil_exact(t, (96, 48), mesh),
+        in_shardings=sh,
+    )
+    hlo = f.lower(x).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, f"unexpected collective {coll} in HLO"
+    n_perm = len(re.findall(r"collective-permute(?:-start)?\(", hlo))
+    assert 1 <= n_perm <= 2, f"expected the 2 halo ppermutes, saw {n_perm}"
