@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["lower_text", "compiled_text", "kernel_report", "KernelReport"]
+__all__ = ["lower_text", "compiled_text", "kernel_report", "KernelReport", "sharded_report"]
 
 
 def lower_text(fn, *args) -> str:
@@ -259,3 +259,45 @@ def kernel_report(
         total_mmacs=total,
         hbm_mbytes=hbm,
     )
+
+
+def sharded_report(in_h: int, out_h: int, mode: str, n_shards: int,
+                   width: int | None = None) -> dict:
+    """Geometry + communication report for the sharded H-split routes
+    (parallel/halo.py) — what an operator sizes a mesh with.
+
+    Returns a dict (also printable) with the halo plan (halo rows, local
+    block sizes, extended frame), the per-device ICI wire bytes, and the
+    digit-promotion table footprints.  Both sharded routes exchange rows
+    AFTER their local W pass, so ``width`` is the OUTPUT width: the float
+    route ships f32 rows (4 B/px), the byte-exact route ships the
+    quantised u8 intermediate (1 B/px — a quarter of the wire)."""
+    from ..parallel.halo import _digit_halo_tables, plan_halo_banded
+
+    plan = plan_halo_banded(in_h, out_h, mode, True, n_shards)
+    rep = {
+        "in_h": in_h,
+        "out_h": out_h,
+        "mode": mode,
+        "n_shards": n_shards,
+        "halo_rows": plan.halo,
+        "local_in_rows": plan.hl,
+        "local_out_rows": plan.ol,
+        "extended_rows": plan.ext,
+        "float_band_geometry": {
+            "n_tiles": plan.n_tiles,
+            "k_in": plan.k_in,
+            "bands_bytes_per_shard": int(plan.bands[0].nbytes),
+        },
+    }
+    _, dstarts, dbands, dct = _digit_halo_tables(in_h, out_h, mode, n_shards)
+    rep["digit_table_geometry"] = {
+        "n_tiles": int(dbands.shape[1]),
+        "k_in": int(dbands.shape[2]),
+        "bands_bytes_per_shard": int(dbands[0].nbytes + dct[0].nbytes),
+    }
+    if width is not None:
+        # two ppermutes of `halo` rows each, both directions
+        rep["wire_bytes_per_device_float32"] = 2 * plan.halo * width * 4
+        rep["wire_bytes_per_device_u8_exact"] = 2 * plan.halo * width
+    return rep

@@ -297,3 +297,20 @@ def test_f64_fallback_warns_once_on_tpu(rng, monkeypatch):
         warnings.simplefilter("always")
         ia.resize(x[:64, :64], (32, 32), backend="dense")
     assert not [m for m in w if "float64 resize" in str(m.message)]
+
+
+def test_sharded_report_geometry():
+    """sharded_report's plan numbers must agree with the live plan and the
+    digit tables (operator-facing mesh-sizing tool, round 4)."""
+    from interpolate_antialiasing_tpu.parallel.halo import plan_halo_banded
+    from interpolate_antialiasing_tpu.utils.inspect import sharded_report
+
+    rep = sharded_report(2160, 1080, "bilinear", 8, width=1920)
+    plan = plan_halo_banded(2160, 1080, "bilinear", True, 8)
+    assert rep["halo_rows"] == plan.halo
+    assert rep["local_in_rows"] == plan.hl == 270
+    assert rep["local_out_rows"] == plan.ol == 135
+    assert rep["wire_bytes_per_device_u8_exact"] * 4 == (
+        rep["wire_bytes_per_device_float32"]
+    )
+    assert rep["digit_table_geometry"]["bands_bytes_per_shard"] > 0
