@@ -384,6 +384,151 @@ def probe_components(B: int = 192, iters: int = 30,
     return out
 
 
+def probe_int16(B: int = 192, iters: int = 30,
+                geom: tuple[int, int, int, int] | None = None):
+    """2-digit s16/s8 weight split at headline geometry: measures the
+    MXU/VPU trade DESIGN.md's epilogue-floor section leaves un-shipped.
+
+    The production kernel splits 22-bit Pillow weights into THREE int8
+    digits (3x128 result lanes, 2-shift+3-add recombine).  This variant
+    splits them into an s16 hi digit (bits 8..21) and a balanced s8 lo
+    digit: per tile TWO matmuls (int16 pixels x int16 hi weights; int8
+    pixels x int8 lo weights), 2x128 result lanes, and a 1-shift+2-add
+    recombine — ~40% fewer VPU epilogue ops and 2/3 the result lanes, at
+    the cost of whatever the MXU charges for the s16 operand (it has no
+    native s16 mode; Mosaic decomposes — the probe measures the real
+    rate, which is the whole question).  Compare its `int16_ms` against
+    probe_components' `value_inter_ms`: if smaller on chip, the
+    production 2-digit kernel is worth building.  Falls back to a
+    structured error row if Mosaic rejects the s16 dot."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from interpolate_antialiasing_tpu.ops.pil_exact import (
+        PRECISION_BITS,
+        _digit_tiles,
+        _pil_vmem_bytes,
+        _PIL_VMEM_BUDGET,
+    )
+
+    H, W, OH, OW = geom or (438, 906, 196, 320)
+    btw, bandsw, ctw = _digit_tiles(W, OW, "bilinear")
+    bth, bandsh, cth = _digit_tiles(H, OH, "bilinear")
+    bsz = 1
+    for cand in range(8, 0, -1):
+        if B % cand == 0 and _pil_vmem_bytes(
+            H, W, OH, OW, btw, bth, cand
+        ) <= _PIL_VMEM_BUDGET:
+            bsz = cand
+            break
+
+    def two_digit(bands3):
+        """[n_tiles, k, 3*128] int8 digit bands -> (hi s16, lo s8) with
+        K = hi*256 + lo (balanced lo), laid out [n_tiles, k, 128] each."""
+        b = bands3.astype(np.int64)
+        n_t, k, _ = b.shape
+        K = (b[:, :, 2 * 128:] << 16) + (b[:, :, 128:256] << 8) + b[:, :, :128]
+        lo = ((K + 128) % 256) - 128
+        hi = (K - lo) >> 8
+        assert np.abs(hi).max() < 2 ** 15 and np.abs(lo).max() <= 128
+        return hi.astype(np.int16), lo.astype(np.int8)
+
+    hw_hi, hw_lo = two_digit(bandsw)
+    hh_hi, hh_lo = two_digit(bandsh)
+
+    def kern(x_ref, bwh_ref, bwl_ref, bhh_ref, bhl_ref, cw_ref, ch_ref,
+             o_ref, scratch):
+        for bi in range(bsz):
+            xs = jax.lax.bitcast_convert_type(
+                x_ref[bi] ^ jnp.uint8(128), jnp.int8
+            )
+            xs16 = xs.astype(jnp.int16)
+            for t, s in enumerate(int(v) for v in btw.starts):
+                S_hi = jax.lax.dot_general(
+                    xs16[:, s : s + btw.k_in], bwh_ref[t],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                S_lo = jax.lax.dot_general(
+                    xs[:, s : s + btw.k_in], bwl_ref[t],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                ct1 = cw_ref[t] - jnp.int32(128 << PRECISION_BITS)
+                acc = jax.lax.shift_left(S_hi, jnp.int32(8)) + S_lo + ct1[None, :]
+                v = jax.lax.shift_right_arithmetic(
+                    acc, jnp.int32(PRECISION_BITS)
+                )
+                scratch[bi, :, t * 128 : (t + 1) * 128] = v.astype(jnp.int8)
+            for t, s in enumerate(int(v) for v in bth.starts):
+                win = scratch[bi, s : s + bth.k_in, :]
+                S_hi = jax.lax.dot_general(
+                    bhh_ref[t], win.astype(jnp.int16),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                S_lo = jax.lax.dot_general(
+                    bhl_ref[t], win,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc = (jax.lax.shift_left(S_hi, jnp.int32(8)) + S_lo
+                       + ch_ref[t][:, None])
+                u = jax.lax.shift_right_arithmetic(
+                    acc, jnp.int32(PRECISION_BITS)
+                )
+                rows = min(128, OH - t * 128)
+                o_ref[bi, t * 128 : t * 128 + rows, :OW] = (
+                    u[:rows, :OW].astype(jnp.uint8)
+                )
+
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, OH, OW), jnp.uint8),
+        grid=(B // bsz,),
+        in_specs=[
+            pl.BlockSpec((bsz, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btw.n_tiles, btw.k_in, 128), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btw.n_tiles, btw.k_in, 128), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bth.n_tiles, bth.k_in, 128), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bth.n_tiles, bth.k_in, 128), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btw.n_tiles, 128), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bth.n_tiles, 128), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bsz, OH, OW), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bsz, H, btw.out_padded), jnp.int8)],
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, (B, H, W), np.uint8))
+    args = (jnp.asarray(hw_hi), jnp.asarray(hw_lo), jnp.asarray(hh_hi),
+            jnp.asarray(hh_lo), jnp.asarray(ctw), jnp.asarray(cth))
+    out = {"probe": "int16_two_digit", "bsz": bsz}
+    from interpolate_antialiasing_tpu.utils.timing import (
+        device_seconds_from_trace,
+    )
+
+    try:
+        g = _device_ms(lambda t: f(t, *args), iters=iters)
+        float(g(x))
+        dev = device_seconds_from_trace(lambda: float(g(x)))
+        out["int16_ms"] = round(dev * 1e3 / iters, 4) if dev else None
+    except Exception as e:  # e.g. Mosaic rejects the s16 dot
+        out["error"] = str(e).splitlines()[0][:160]
+    return out
+
+
 def probe_schedule():
     """Full bit-equivalent kernels at headline geometry, differing only in
     TRACE STRUCTURE, to find how much of the VPU recombine Mosaic's
@@ -612,13 +757,17 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # small downsample with 2 tiles per axis: exercises every
+        # per-tile branch (incl. S_shared reuse) at ~1/5 the
+        # headline element count
         print(
             json.dumps(
-                # small downsample with 2 tiles per axis: exercises every
-                # per-tile branch (incl. S_shared reuse) at ~1/5 the
-                # headline element count
                 probe_components(B=2, iters=1, geom=(200, 300, 140, 160))
             ),
+            flush=True,
+        )
+        print(
+            json.dumps(probe_int16(B=2, iters=1, geom=(200, 300, 140, 160))),
             flush=True,
         )
         return
@@ -629,6 +778,7 @@ def main():
         print(json.dumps(probe_overlap()), flush=True)
     if not args.skip_components:
         print(json.dumps(probe_components()), flush=True)
+        print(json.dumps(probe_int16()), flush=True)
 
 
 if __name__ == "__main__":

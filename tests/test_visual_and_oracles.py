@@ -314,3 +314,61 @@ def test_sharded_report_geometry():
         rep["wire_bytes_per_device_float32"]
     )
     assert rep["digit_table_geometry"]["bands_bytes_per_shard"] > 0
+
+
+def test_epilogue_probe_int16_variant_byte_exact():
+    """The s16/s8 two-digit probe variant must be byte-identical to PIL
+    on its smoke geometry (bilinear: clip provably never fires, so the
+    clip-less probe epilogue is exact) — otherwise its on-chip timing
+    would measure a wrong kernel."""
+    import sys
+    from pathlib import Path
+
+    from PIL import Image
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "benchmarks")
+    )
+    try:
+        import epilogue_probe
+    finally:
+        sys.path.pop(0)
+
+    # capture the kernel output instead of the timing by monkey-free
+    # reconstruction: run the probe's pallas_call directly via a tiny
+    # shim — easiest faithful check is to rebuild the call the probe
+    # makes with iters=1 and compare its forward output.  The probe
+    # doesn't expose the raw fn, so replicate through its own module
+    # objects: geometry small, B=2.
+    H, W, OH, OW = 200, 300, 140, 160
+    rng = np.random.default_rng(0)
+    x_np = rng.integers(0, 256, (2, H, W), np.uint8)
+
+    # reference: PIL per plane
+    ref = np.stack([
+        np.asarray(
+            Image.fromarray(p).resize((OW, OH), Image.Resampling.BILINEAR)
+        )
+        for p in x_np
+    ])
+
+    # reuse the probe internals by calling probe_int16 with a hook: the
+    # cheapest faithful path is to temporarily wrap _device_ms so we can
+    # grab the compiled forward's output
+    captured = {}
+    orig = epilogue_probe._device_ms
+
+    def capturing(fn, iters=50):
+        def runner(x):
+            y = fn(x)
+            captured["y"] = np.asarray(y)
+            return 0.0
+        return runner
+
+    epilogue_probe._device_ms = capturing
+    try:
+        out = epilogue_probe.probe_int16(B=2, iters=1, geom=(H, W, OH, OW))
+    finally:
+        epilogue_probe._device_ms = orig
+    assert "error" not in out, out
+    np.testing.assert_array_equal(captured["y"], ref)
