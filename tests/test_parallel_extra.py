@@ -239,3 +239,39 @@ def test_resize_sharded_pil_exact_comm_pattern_hlo():
         assert coll not in hlo, f"unexpected collective {coll} in HLO"
     n_perm = len(re.findall(r"collective-permute(?:-start)?\(", hlo))
     assert 1 <= n_perm <= 2, f"expected the 2 halo ppermutes, saw {n_perm}"
+
+
+def test_resize_sharded_pil_exact_promotion_hamming_and_nhwc_fallback():
+    """hamming through the promoted path (the identity-vertical-table
+    claim covers it: scale-1 hamming reduces to one full-weight tap);
+    and NHWC + use_tpu_kernels=True must silently keep the gather route
+    (promotion needs trailing [H, W] axes) while staying byte-exact."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.parallel import (
+        make_mesh,
+        resize_sharded_pil_exact,
+    )
+
+    mesh = make_mesh((8,), ("sp",))
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (2, 320, 180), dtype=np.uint8)
+    ref = np.stack([
+        np.asarray(Image.fromarray(img[c]).resize((90, 160),
+                                                  Image.Resampling.HAMMING))
+        for c in range(2)
+    ])
+    got = np.asarray(
+        resize_sharded_pil_exact(jnp.asarray(img), (160, 90), mesh,
+                                 mode="hamming", use_tpu_kernels=True)
+    )
+    np.testing.assert_array_equal(got, ref)
+
+    hwc = np.moveaxis(img, 0, -1)[:, :, :2]
+    ref_hwc = np.moveaxis(ref, 0, -1)[:, :, :2]
+    got_hwc = np.asarray(
+        resize_sharded_pil_exact(jnp.asarray(hwc), (160, 90), mesh,
+                                 mode="hamming", data_format="NHWC",
+                                 use_tpu_kernels=True)
+    )
+    np.testing.assert_array_equal(got_hwc, ref_hwc)
