@@ -163,3 +163,17 @@ def test_linearity_float_path(g, seed, a, b):
     lhs = np.asarray(f(a * x + b * z))
     rhs = a * np.asarray(f(x)) + b * np.asarray(f(z))
     np.testing.assert_allclose(lhs, rhs, atol=1e-12, rtol=1e-12)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(4, 80), st.integers(4, 80),
+       st.sampled_from(MODES), st.integers(0, 2**31 - 1))
+def test_same_size_pil_exact_is_identity(H, W, mode, seed):
+    """resize_pil_exact(x, x.shape) == x for every mode: the quantised
+    out==in tables are the exact identity (the fact the sharded route's
+    W-pass promotion reuses — pinned here at the public surface)."""
+    from interpolate_antialiasing_tpu.ops.pil_exact import resize_pil_exact
+
+    img = np.random.default_rng(seed).integers(0, 256, (H, W), np.uint8)
+    y = np.asarray(resize_pil_exact(jnp.asarray(img), (H, W), method=mode))
+    np.testing.assert_array_equal(y, img, err_msg=f"{H}x{W} {mode}")
