@@ -38,10 +38,23 @@ K_PASS = 128
 #: pickers encode the 128 via their fixed lane pitch, not this constant).
 N_QUANT = 8
 
-#: Per-tile fixed cost for H-pass pickers, in cost-model units
-#: (k_eff * n_eff of a ~K=128, N=128 matmul — conservative; biases ties
-#: toward fewer, wider tiles).  The measured ~1 us/grid-step analogue.
-TILE_FIXED_COST = 128 * 128
+#: Per-tile fixed cost for the INT8 digit H-pass pickers, in cost-model
+#: units (k_eff * n_eff at matmul scale).  Retuned against the round-4
+#: on-chip sweep (2026-08-19, benchmarks/tile_h_sweep.py): at 128*128 the
+#: headline pick was 56 (0.2995 ms) while the measured best was 40
+#: (0.2921 ms); 128*64 reproduces the measured optimum there and leaves
+#: the 4K streamed picks (H=32, W=120) unchanged.
+TILE_FIXED_COST = 128 * 64
+
+#: Per-tile fixed cost for the FLOAT (f32/bf16) H-pass picker.  Zero, by
+#: measurement (round-4 sweep): the float routes move 2-4x the bytes of
+#: the int8 path and are DMA/pipeline-bound, so more grid steps improve
+#: the row-window DMA <-> MXU overlap and the smallest whole-pass tile
+#: wins end to end (tile 32 beat the old 16384-cost picks by 7.9% on the
+#: f32 headline and 6.9% on the bf16 4K workload).  Any fixed cost large
+#: enough to matter re-biases toward the wide tiles the chip measures
+#: slower; benchmarks/retune.py re-checks this every sweep session.
+FLOAT_TILE_FIXED_COST = 0
 
 #: Per-tile fixed cost for the streamed W-pass picker, in full
 #: M*K_eff*N MAC units (roughly one extra 128^3 matmul: epilogue
@@ -49,13 +62,13 @@ TILE_FIXED_COST = 128 * 128
 TILE_W_FIXED_COST = 128 * 128 * 128
 
 #: Whether the float streamed W pass uses the cost-model pick by default.
-#: The int8 ceil(K/128) quantisation is measured (mxu_geometry.py); the
-#: bf16 twin is NOT yet — flip to True only after the bf16 K sweep
-#: (mxu_geometry) and the float-W end-to-end sweep (tile_h_sweep
-#: float_4k_bf16_wpass) validate the model on chip (VERDICT r3 ask #5).
-#: Until then the default stays 128 (status quo) and
-#: ``IA_TPU_FLOAT_TILE_W`` remains the sweep override.
-FLOAT_W_MODEL_DEFAULT = False
+#: Flipped ON by the round-4 on-chip session (2026-08-19): the end-to-end
+#: float_4k_bf16_wpass sweep measured width 120 at 1.1768 ms vs the old
+#: 128 default's 1.2304 ms (-4.4%) — the same drop-a-K-pass effect the
+#: int8 probes measured — and the model's pick at that geometry IS 120
+#: (pallas_resize._pick_tile_w_float).  ``IA_TPU_FLOAT_TILE_W`` remains
+#: the sweep override; benchmarks/retune.py re-validates the pick.
+FLOAT_W_MODEL_DEFAULT = True
 
 
 def round_up(x: int, m: int) -> int:

@@ -211,7 +211,12 @@ def _pick_tile_h(in_size: int, out_size: int, mode: str,
     nz = K != 0
     lo = np.argmax(nz, axis=1)
     hi = in_size - np.argmax(nz[:, ::-1], axis=1)  # exclusive
-    cands = range(128, 55, -8) if align == 1 else (128, 96, 64, 32)
+    # candidate floor 32 (was 56): the round-4 headline sweep measured
+    # tile 40 fastest (0.2921 vs 0.2995 ms at the old pick 56) — with the
+    # retuned TILE_FIXED_COST the model reproduces that optimum, and the
+    # sub-56 widths are legal for the whole-image kernel (masked sublane
+    # stores, any 8-multiple).
+    cands = range(128, 31, -8) if align == 1 else (128, 96, 64, 32)
     return mxu_model.pick_tile(
         out_size=out_size,
         in_size=in_size,

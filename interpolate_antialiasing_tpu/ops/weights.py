@@ -405,18 +405,22 @@ def banded_tiles(
 
 
 def pick_tile_h(spec: AxisSpec, align: int = 1,
-                cands=tuple(range(128, 55, -8)),
+                cands=tuple(range(128, 31, -8)),
                 max_tiles: int | None = 32) -> int:
     """Output-tile width for a contract-over-sublanes (H/mid-axis) pass,
     chosen by the MXU cost model: matmul time goes as ceil(K/128) 128-deep
     K passes (the round-3 on-chip geometry study, benchmarks/
     mxu_geometry.py), and the H-pass result stacks along sublanes where
     sub-128 tiles slice free — so a narrower output tile can drop a whole
-    MXU pass (e.g. K=287 -> one 128-pass at tile 56 for the headline H
-    axis).  Float twin of ops/pil_exact._pick_tile_h (same model, PIL
-    digit-matrix structure there, AxisSpec tables here); model constants
-    and the pick loop live in ops/mxu_model.py (one copy for all three
-    pickers)."""
+    MXU pass.  The float routes carry ZERO per-tile fixed cost
+    (mxu_model.FLOAT_TILE_FIXED_COST): they are DMA/pipeline-bound, and
+    the round-4 on-chip sweep measured the smallest whole-pass tile
+    fastest end to end (32 beat the old wide picks by 7-8% on both the
+    f32 headline and bf16 4K workloads) — so the candidate floor is 32,
+    not the int8 pickers' 56.  Float twin of ops/pil_exact._pick_tile_h
+    (same pick loop, PIL digit-matrix structure there, AxisSpec tables
+    here); model constants and the pick loop live in ops/mxu_model.py
+    (one copy for all three pickers)."""
     from . import mxu_model
 
     forced = mxu_model.env_tile(
@@ -434,7 +438,9 @@ def pick_tile_h(spec: AxisSpec, align: int = 1,
         lo=lo,
         hi=hi,
         cands=cands,
-        per_tile_cost=lambda t, keff: keff * t + mxu_model.TILE_FIXED_COST,
+        per_tile_cost=lambda t, keff: (
+            keff * t + mxu_model.FLOAT_TILE_FIXED_COST
+        ),
         align=align,
         max_tiles=max_tiles,
     )

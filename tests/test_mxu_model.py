@@ -29,9 +29,13 @@ def _clear_pick_caches():
 
 
 # ---------------------------------------------------------------------------
-# (a) Pinned picks: consolidating the model must not move any production
-# tile width.  Values recorded from the pre-refactor code (round 3,
-# commit 018adfa) on the headline and 4K geometries.
+# (a) Pinned picks: a retune must move tile widths deliberately, never as
+# a refactor side effect.  Values re-recorded from the round-4 on-chip
+# sweep session (2026-08-19, benchmarks/tile_h_sweep.py + retune.py):
+# TILE_FIXED_COST 128*128 -> 128*64 (headline digit pick 56 -> 40, the
+# measured best, 0.2921 vs 0.2995 ms), FLOAT_TILE_FIXED_COST = 0 with the
+# candidate floor extended to 32 (f32 headline 104 -> 40, bf16 4K
+# streamed 64 -> 32, both measured fastest on chip).
 # ---------------------------------------------------------------------------
 
 HEADLINE = [  # (axis in, out) for 906x438 -> 320x196
@@ -45,20 +49,31 @@ FOURK = [  # 3840x2160 -> 1920x1080
 
 PINNED_DIGIT_H = {
     # (in, out, align) -> tile
-    (438, 196, 1): 56,
+    (438, 196, 1): 40,
     (438, 196, 8): 32,
-    (906, 320, 1): 80,
+    (906, 320, 1): 40,
     (906, 320, 8): 32,
     (2160, 1080, 1): 56,
-    (2160, 1080, 8): 96,
+    (2160, 1080, 8): 64,
     (3840, 1920, 1): 120,
     (3840, 1920, 8): 96,
+    # the swept 4K->HD(720p) video geometry
+    (2160, 720, 1): 40,
+    (2160, 720, 8): 32,
+    (3840, 1280, 8): 64,
 }
 PINNED_FLOAT_H = {
-    (438, 196): 104,
-    (906, 320): 80,
-    (2160, 1080): 120,
+    (438, 196): 40,
+    (906, 320): 40,
+    (2160, 1080): 40,
     (3840, 1920): 120,
+    (2160, 720): 40,
+}
+# the float STREAMED route (align=8, 32-multiples): the swept bf16 4K
+# workload must keep its measured-best 32
+PINNED_FLOAT_H_STREAMED = {
+    (2160, 720): 32,
+    (438, 196): 32,
 }
 
 
@@ -75,6 +90,28 @@ def test_float_tile_h_picks_pinned(monkeypatch):
     for (i, o), want in PINNED_FLOAT_H.items():
         spec = w.make_axis_spec(i, o, "bilinear")
         assert w.pick_tile_h(spec) == want, (i, o)
+    for (i, o), want in PINNED_FLOAT_H_STREAMED.items():
+        spec = w.make_axis_spec(i, o, "bilinear")
+        assert w.pick_tile_h(spec, align=8, cands=(128, 96, 64, 32)) == want, (
+            i, o)
+
+
+def test_float_w_model_default_on_picks_120(monkeypatch):
+    """Round-4 flip (VERDICT r3 ask #5): with FLOAT_W_MODEL_DEFAULT on,
+    the float streamed W pass defaults to the cost-model pick — 120 at
+    the swept bf16 4K geometry (measured 1.1768 ms vs 1.2304 at 128)."""
+    monkeypatch.delenv("IA_TPU_FLOAT_TILE_W", raising=False)
+    from interpolate_antialiasing_tpu.ops import mxu_model
+    from interpolate_antialiasing_tpu.ops import pallas_resize as pr
+
+    assert mxu_model.FLOAT_W_MODEL_DEFAULT is True
+    sh = w.make_axis_spec(2160, 720, "bilinear")
+    sw = w.make_axis_spec(3840, 1280, "bilinear")
+    assert pr._pick_tile_w_float(sw, sh) == 120
+    pr._tiles_stream_w_cached.cache_clear()
+    bt = pr._tiles_stream_w_cached(sw, sh)
+    assert bt.tile == 120
+    pr._tiles_stream_w_cached.cache_clear()
 
 
 def test_digit_tile_w_pick_pinned(monkeypatch):
