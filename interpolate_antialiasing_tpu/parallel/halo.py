@@ -540,18 +540,21 @@ def resize_sharded_pil_exact(
 
     * **XLA gather+MAC** (default): int32 windows contraction — correct
       and portable.
-    * **int8 digit MXU kernels** (``use_tpu_kernels=True``, or env
-      ``IA_TPU_SHARDED_PIL_PALLAS=1``): the W pass runs the EXISTING
-      fused digit kernels as a (hl, W) -> (hl, OW) resize — the derived
-      vertical tables for out==in quantise to the exact identity for
-      every Pillow filter (all of them are 1 at integer positions and 0
-      at other integers), so the fused kernel's second pass is a
+    * **int8 digit MXU kernels** (the TPU default since the round-4
+      on-chip probe; ``use_tpu_kernels`` / env
+      ``IA_TPU_SHARDED_PIL_PALLAS=1|0`` override): the W pass runs the
+      EXISTING fused digit kernels as a (hl, W) -> (hl, OW) resize — the
+      derived vertical tables for out==in quantise to the exact identity
+      for every Pillow filter (all of them are 1 at integer positions
+      and 0 at other integers), so the fused kernel's second pass is a
       byte-exact no-op re-quantisation — and the H pass runs
       ``pil_exact.digit_pass_mid_dynamic`` with per-shard digit tables
-      (``_digit_halo_tables``) selected by ``lax.axis_index``.  Gated
-      OFF by default until measured on chip (the round-3 lesson: no
-      unmeasured defaults in the auto route); byte-equality of the
-      promoted path is pinned in interpret mode either way.
+      (``_digit_halo_tables``) selected by ``lax.axis_index``.
+      Measured on chip 2026-08-19 (benchmarks/sharded_digit_probe.py,
+      n=1 tables, byte-equality asserted between routes): H pass 0.289
+      vs 0.431 ms gather (1.49x), W pass via the identity-table fused
+      kernel 0.427 vs 1.421 ms gather (3.33x) — so on TPU the promotion
+      is on by default; non-TPU backends keep the gather route.
 
     Reference analogue: none — the reference is single-process
     (test.py); this is TPU-native surplus on top of §2.5's
@@ -584,7 +587,14 @@ def resize_sharded_pil_exact(
     starts_dev, wsh_dev = jnp.asarray(starts_h), jnp.asarray(Wsh)
 
     if use_tpu_kernels is None:
-        use_tpu_kernels = os.environ.get("IA_TPU_SHARDED_PIL_PALLAS") == "1"
+        env = os.environ.get("IA_TPU_SHARDED_PIL_PALLAS")
+        if env in ("0", "1"):
+            use_tpu_kernels = env == "1"
+        else:
+            # TPU default ON since the round-4 on-chip probe (docstring);
+            # CPU/interpret keeps gather (digit kernels would run the
+            # slow interpret path for no gain).
+            use_tpu_kernels = jax.default_backend() == "tpu"
     # digit promotion needs the image axes trailing ([..., H, W]); other
     # layouts keep the (byte-identical) gather route
     promote = bool(use_tpu_kernels) and (h_axis, w_axis) == (
