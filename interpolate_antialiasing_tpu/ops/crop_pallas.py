@@ -387,11 +387,20 @@ def crop_windowed_supported(
     align_h, Hp, k_h, W2, k_w = _geom(
         H, W, oh, ow, support, antialias, max_box_frac
     )
-    # windowing must actually save MACs on at least one axis, else dense's
-    # single big matmul wins (cf. the router sweep: banding with k ~ in is
-    # pure overhead).
+    # Windowing must save enough combined two-pass MACs to cover the
+    # route's per-tile/DMA overheads, else dense's single big matmul
+    # wins.  Threshold 0.8 from the round-4 on-chip crossover (b64 ->
+    # 224^2, boxes spanning 0.6, max_box_frac 1, device time):
+    #   438x906   ratio 0.866  windowed 1.333 vs dense 1.171 ms  (loses)
+    #   720x1280  ratio 0.752  windowed 1.561 vs dense 1.754 ms  (wins)
+    #   1080x1920 ratio 0.713  2.995 vs 3.991; 1440x2560 0.715 ->
+    #   3.795 vs 5.654; 4K 0.689 -> ~7x.
+    # A tighter max_box_frac shrinks k_* and the ratio with it, so
+    # random_resized_crop-style callers admit at smaller images too.
     nt_h, nt_w = -(-oh // _LANE), -(-ow // _LANE)
-    if k_h * nt_h * _LANE >= oh * H and k_w * nt_w * _LANE >= ow * W:
+    mac_win = k_h * nt_h * _LANE * W + k_w * nt_w * _LANE * oh
+    mac_dense = oh * H * W + ow * W * oh
+    if mac_win >= 0.8 * mac_dense:
         return False
     # VMEM admission, pass 1: x block (whole padded H x wt) + band + out.
     band_h_bytes = nt_h * k_h * _LANE * 4
