@@ -299,6 +299,37 @@ def test_f64_fallback_warns_once_on_tpu(rng, monkeypatch):
     assert not [m for m in w if "float64 resize" in str(m.message)]
 
 
+def test_f64_auto_routes_banded_on_tpu(rng, monkeypatch, capsys):
+    """f64 'auto' on TPU takes the BANDED XLA contraction for large
+    planes and dense for small — the round-4 on-chip measurement (banded
+    2.9x dense at 4K, 1.16x at the headline shape, bit-identical sums;
+    docs/BENCHMARKS.md f64 section).  Routing observed via the
+    IA_TPU_DEBUG dispatch trace; numerics pinned against dense."""
+    from interpolate_antialiasing_tpu.ops import resize as rz
+    from interpolate_antialiasing_tpu.ops.weights import make_axis_spec
+
+    # the pure pick: large -> banded, small -> dense
+    big = make_axis_spec(2160, 1080, "bilinear")
+    small = make_axis_spec(64, 32, "bilinear")
+    assert rz._pick_method_f64(big) == "banded"
+    assert rz._pick_method_f64(small) == "dense"
+
+    # end to end through the forced on-TPU branch (CPU execution: the
+    # banded kernel is plain XLA, so the route runs everywhere)
+    monkeypatch.setattr(rz, "_on_tpu", lambda: True)
+    monkeypatch.setenv("IA_TPU_DEBUG", "1")
+    from interpolate_antialiasing_tpu.config import debug_enabled
+
+    x = jnp.asarray(rng.random((1536, 1024)), jnp.float64)
+    y = ia.resize(x, (700, 500))
+    out = capsys.readouterr().out
+    assert "banded" in out, out
+    yd = ia.resize(x, (700, 500), backend="dense")
+    assert y.dtype == jnp.float64
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), rtol=0,
+                               atol=1e-12)
+
+
 def test_sharded_report_geometry():
     """sharded_report's plan numbers must agree with the live plan and the
     digit tables (operator-facing mesh-sizing tool, round 4)."""
