@@ -54,6 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .filters import get_filter, filter_is_nonnegative
+from .pallas_compat import block_spec as _bspec
 from .pallas_resize import (
     _LANE,
     _VMEM_BUDGET,
@@ -499,17 +500,17 @@ def crop_and_resize_windowed(
         inter_dtype = jnp.int8  # signed u8-grid (x - 128) convention
         ops1 = (starts_h, x, band_h, ct_h)
         in_specs1 = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
+            _bspec(memory_space=pltpu.SMEM),
+            _bspec(
                 (1, 1, Hp, wt), lambda n, c, j, t: (n, c, 0, j),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
+            _bspec(
                 (1, nt_h, k_h, ndig_h * _LANE),
                 lambda n, c, j, t: (n, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
+            _bspec(
                 (1, nt_h, _LANE), lambda n, c, j, t: (n, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -525,12 +526,12 @@ def crop_and_resize_windowed(
         inter_dtype = jnp.uint8
         ops1 = (starts_h, x, band_h)
         in_specs1 = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
+            _bspec(memory_space=pltpu.SMEM),
+            _bspec(
                 (1, 1, Hp, wt), lambda n, c, j, t: (n, c, 0, j),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
+            _bspec(
                 (1, nt_h, k_h, _LANE), lambda n, c, j, t: (n, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -540,7 +541,7 @@ def crop_and_resize_windowed(
         out_shape=jax.ShapeDtypeStruct(
             (N, C, out_pad_h, n_wchunks * wt), inter_dtype
         ),
-        out_specs=pl.BlockSpec(
+        out_specs=_bspec(
             (1, 1, _LANE, wt), lambda n, c, j, t: (n, c, t, j),
             memory_space=pltpu.VMEM,
         ),
@@ -576,17 +577,17 @@ def crop_and_resize_windowed(
         )
         ops2 = (starts_w, inter, band_w, ct_w)
         in_specs2 = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
+            _bspec(memory_space=pltpu.SMEM),
+            _bspec(
                 (1, 1, mt, in_pad2), lambda n, c, i, t: (n, c, i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
+            _bspec(
                 (1, nt_w, k_w, ndig_w * _LANE),
                 lambda n, c, i, t: (n, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
+            _bspec(
                 (1, nt_w, _LANE), lambda n, c, i, t: (n, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -601,12 +602,12 @@ def crop_and_resize_windowed(
         )
         ops2 = (starts_w, inter, band_w)
         in_specs2 = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
+            _bspec(memory_space=pltpu.SMEM),
+            _bspec(
                 (1, 1, mt, in_pad2), lambda n, c, i, t: (n, c, i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
+            _bspec(
                 (1, nt_w, k_w, _LANE), lambda n, c, i, t: (n, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -614,7 +615,7 @@ def crop_and_resize_windowed(
     y = pl.pallas_call(
         kern2,
         out_shape=jax.ShapeDtypeStruct((N, C, out_pad_h, out_pad_w), jnp.uint8),
-        out_specs=pl.BlockSpec(
+        out_specs=_bspec(
             (1, 1, mt, _LANE), lambda n, c, i, t: (n, c, i, t),
             memory_space=pltpu.VMEM,
         ),

@@ -38,6 +38,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from .pallas_compat import block_spec as _bspec
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -347,12 +349,12 @@ def _pass_last(x2, spec, fused, precision, out_dtype, tiles=None, out_size=None)
             fused_spec=spec if fused else None,
         )
         in_specs = [
-            pl.BlockSpec((mt, in_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            _bspec((mt, in_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ]
         operands = [x2]
         if not fused:
             in_specs.append(
-                pl.BlockSpec(
+                _bspec(
                     (bt.n_tiles, bt.k_in, _LANE),
                     lambda i: (0, 0, 0),
                     memory_space=pltpu.VMEM,
@@ -365,7 +367,7 @@ def _pass_last(x2, spec, fused, precision, out_dtype, tiles=None, out_size=None)
         y = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((m_pad, bt.out_padded), out_dtype),
-            out_specs=pl.BlockSpec(
+            out_specs=_bspec(
                 (mt, bt.out_padded), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             grid=(m_pad // mt,),
@@ -390,7 +392,7 @@ def _pass_last(x2, spec, fused, precision, out_dtype, tiles=None, out_size=None)
 
     common = dict(
         out_shape=jax.ShapeDtypeStruct((m_pad, bt.out_padded), out_dtype),
-        out_specs=pl.BlockSpec(
+        out_specs=_bspec(
             (mt, _LANE), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         grid=grid,
@@ -408,8 +410,8 @@ def _pass_last(x2, spec, fused, precision, out_dtype, tiles=None, out_size=None)
         y = pl.pallas_call(
             functools.partial(_kernel_last_fused, spec=spec, tile=_LANE, **kw),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((mt, in_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                _bspec(memory_space=pltpu.SMEM),
+                _bspec((mt, in_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             ],
             cost_estimate=cost,
             **common,
@@ -419,9 +421,9 @@ def _pass_last(x2, spec, fused, precision, out_dtype, tiles=None, out_size=None)
         y = pl.pallas_call(
             functools.partial(_kernel_last, **kw),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((mt, in_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
+                _bspec(memory_space=pltpu.SMEM),
+                _bspec((mt, in_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                _bspec(
                     (bt.n_tiles, bt.k_in, _LANE),
                     lambda i, j: (0, 0, 0),
                     memory_space=pltpu.VMEM,
@@ -476,14 +478,14 @@ def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
             fused_spec=spec if fused else None,
         )
         in_specs = [
-            pl.BlockSpec(
+            _bspec(
                 (bsz, in_pad, wt), lambda b, k: (b, 0, k), memory_space=pltpu.VMEM
             )
         ]
         operands = [x3]
         if not fused:
             in_specs.append(
-                pl.BlockSpec(
+                _bspec(
                     (bt.n_tiles, bt.k_in, _LANE),
                     lambda b, k: (0, 0, 0),
                     memory_space=pltpu.VMEM,
@@ -496,7 +498,7 @@ def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
         y = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((b_pad, bt.out_padded, w_pad2), out_dtype),
-            out_specs=pl.BlockSpec(
+            out_specs=_bspec(
                 (bsz, bt.out_padded, wt), lambda b, k: (b, 0, k),
                 memory_space=pltpu.VMEM,
             ),
@@ -523,7 +525,7 @@ def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
 
     common = dict(
         out_shape=jax.ShapeDtypeStruct((B, bt.out_padded, w_pad), out_dtype),
-        out_specs=pl.BlockSpec(
+        out_specs=_bspec(
             (1, _LANE, wt), lambda b, k, j: (b, j, k), memory_space=pltpu.VMEM
         ),
         grid=grid,
@@ -541,8 +543,8 @@ def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
         y = pl.pallas_call(
             functools.partial(_kernel_mid_fused, spec=spec, tile=_LANE, **kw),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(
+                _bspec(memory_space=pltpu.SMEM),
+                _bspec(
                     (1, in_pad, wt), lambda b, k, j: (b, 0, k), memory_space=pltpu.VMEM
                 ),
             ],
@@ -554,11 +556,11 @@ def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
         y = pl.pallas_call(
             functools.partial(_kernel_mid, **kw),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(
+                _bspec(memory_space=pltpu.SMEM),
+                _bspec(
                     (1, in_pad, wt), lambda b, k, j: (b, 0, k), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec(
+                _bspec(
                     (bt.n_tiles, bt.k_in, _LANE),
                     lambda b, k, j: (0, 0, 0),
                     memory_space=pltpu.VMEM,
@@ -616,17 +618,17 @@ def banded_pass_mid_dynamic(
             in_exact=x3.dtype in (jnp.uint8, jnp.bfloat16),
         ),
         out_shape=jax.ShapeDtypeStruct((B, out_padded, w_pad), out_dtype),
-        out_specs=pl.BlockSpec(
+        out_specs=_bspec(
             (1, _LANE, wt), lambda b, k, j: (b, j, k), memory_space=pltpu.VMEM
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
+            _bspec(memory_space=pltpu.SMEM),
+            _bspec(
                 (1, in_pad, wt), lambda b, k, j: (b, 0, k),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
+            _bspec(
                 (n_tiles, k_in, _LANE), lambda b, k, j: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -824,11 +826,11 @@ def resize2d_pallas(
         fused_spec=spec_w if fused else None,
         quant_inter=quant_inter,
     )
-    in_specs = [pl.BlockSpec((mt, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    in_specs = [_bspec((mt, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     operands = [x2]
     if not fused:
         in_specs.append(
-            pl.BlockSpec(
+            _bspec(
                 (btw.n_tiles, btw.k_in, _LANE),
                 lambda i: (0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -841,7 +843,7 @@ def resize2d_pallas(
     t = pl.pallas_call(
         kern1,
         out_shape=jax.ShapeDtypeStruct((B * h_pad, ow_pad), inter_dtype),
-        out_specs=pl.BlockSpec((mt, ow_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=_bspec((mt, ow_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         grid=(B * h_pad // mt,),
         in_specs=in_specs,
         cost_estimate=pl.CostEstimate(
@@ -879,14 +881,14 @@ def resize2d_pallas(
         fused_spec=spec_h if fused else None,
     )
     in_specs2 = [
-        pl.BlockSpec(
+        _bspec(
             (bsz, h_pad, wt), lambda b, k: (b, 0, k), memory_space=pltpu.VMEM
         )
     ]
     operands2 = [t3]
     if not fused:
         in_specs2.append(
-            pl.BlockSpec(
+            _bspec(
                 (bth.n_tiles, bth.k_in, _LANE),
                 lambda b, k: (0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -899,7 +901,7 @@ def resize2d_pallas(
     y = pl.pallas_call(
         kern2,
         out_shape=jax.ShapeDtypeStruct((B, oh_pad, ow_pad), out_dtype),
-        out_specs=pl.BlockSpec(
+        out_specs=_bspec(
             (bsz, oh_pad, wt), lambda b, k: (b, 0, k), memory_space=pltpu.VMEM
         ),
         grid=(B // bsz, ow_pad // wt),
@@ -1093,19 +1095,19 @@ def resize2d_onekernel(
         out_shape=jax.ShapeDtypeStruct((B, OH, OW), out_dtype),
         grid=(B // bsz,),
         in_specs=[
-            pl.BlockSpec((bsz, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
+            _bspec((bsz, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            _bspec(
                 (btw.n_tiles, btw.k_in, _LANE),
                 lambda b: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
+            _bspec(
                 (bth.n_tiles, bth.k_in, bth.tile),
                 lambda b: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
+        out_specs=_bspec(
             (bsz, OH, OW), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         # no scratch ref — the intermediate is SSA values (equivalent VMEM
@@ -1438,6 +1440,7 @@ def _kernel_2pass_streamed(
     step = (b * T + t) * C + c
 
     def dma(slot, b_i, t_i, c_i):
+        slot = jnp.int32(slot)  # a bare 0 would lower i64 under x64
         return pltpu.make_async_copy(
             x_hbm.at[
                 pl.ds(b_i * jnp.int32(bsz), bsz),
@@ -1584,19 +1587,19 @@ def resize2d_streamed(
             num_scalar_prefetch=2,
             grid=(B // bsz, T, C),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-                pl.BlockSpec(
+                _bspec(memory_space=pl.ANY),  # x stays in HBM
+                _bspec(
                     (btw.n_tiles, btw.k_in, _LANE),
                     lambda b, t, c, starts, cstarts: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(
+                _bspec(
                     (bth.n_tiles, bth.k_in, bth.tile),
                     lambda b, t, c, starts, cstarts: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=pl.BlockSpec(
+            out_specs=_bspec(
                 (bsz, bth.tile, CT * _LANE),
                 lambda b, t, c, starts, cstarts: (b, t, c),
                 memory_space=pltpu.VMEM,

@@ -49,6 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .pallas_compat import block_spec as _bspec
 from .weights import _round_up, make_axis_spec
 
 __all__ = ["resize_pil_exact", "PRECISION_BITS"]
@@ -433,15 +434,15 @@ def digit_pass_mid_dynamic(
         out_shape=jax.ShapeDtypeStruct((B, out_padded, w_pad), jnp.uint8),
         grid=(B, w_pad // wt, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, in_pad, wt), lambda b, c, j: (b, 0, c),
+            _bspec(memory_space=pltpu.SMEM),
+            _bspec((1, in_pad, wt), lambda b, c, j: (b, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, k_in, 3 * 128), lambda b, c, j: (0, 0, 0),
+            _bspec((n_tiles, k_in, 3 * 128), lambda b, c, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 128), lambda b, c, j: (0, 0),
+            _bspec((n_tiles, 128), lambda b, c, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 128, wt), lambda b, c, j: (b, j, c),
+        out_specs=_bspec((1, 128, wt), lambda b, c, j: (b, j, c),
                                memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
     )(starts.astype(jnp.int32), x3, bands, ct)
@@ -630,18 +631,18 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
         out_shape=jax.ShapeDtypeStruct((B, oh, ow), jnp.uint8),
         grid=(B // bsz,),
         in_specs=[
-            pl.BlockSpec((bsz, H, W), lambda b: (b, 0, 0),
+            _bspec((bsz, H, W), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((btw.n_tiles, btw.k_in, 3 * 128),
+            _bspec((btw.n_tiles, btw.k_in, 3 * 128),
                          lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bth.n_tiles, bth.k_in, 3 * tile_h),
+            _bspec((bth.n_tiles, bth.k_in, 3 * tile_h),
                          lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((btw.n_tiles, 128), lambda b: (0, 0),
+            _bspec((btw.n_tiles, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bth.n_tiles, tile_h), lambda b: (0, 0),
+            _bspec((bth.n_tiles, tile_h), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bsz, oh, ow), lambda b: (b, 0, 0),
+        out_specs=_bspec((bsz, oh, ow), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         # NB: no scratch ref — the intermediate is SSA values (Mosaic
         # allocates equivalent VMEM, still counted by _pil_vmem_bytes)
@@ -810,6 +811,7 @@ def _kernel_2pass_pil_streamed(
     step = (b * T + t) * C + c
 
     def dma(slot, b_i, t_i, c_i):
+        slot = jnp.int32(slot)  # a bare 0 would lower i64 under x64
         return pltpu.make_async_copy(
             x_hbm.at[
                 pl.ds(b_i * jnp.int32(bsz), bsz),
@@ -980,24 +982,24 @@ def _pil_streamed_call(
         num_scalar_prefetch=2,
         grid=(B // bsz, T, C),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-            pl.BlockSpec((CT, btw.k_in, 3 * 128),
+            _bspec(memory_space=pl.ANY),  # x stays in HBM
+            _bspec((CT, btw.k_in, 3 * 128),
                          lambda b, t, c, starts, cstarts: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bth.n_tiles, bth.k_in, 3 * bth.tile),
+            _bspec((bth.n_tiles, bth.k_in, 3 * bth.tile),
                          lambda b, t, c, starts, cstarts: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             # bias constants are tiny (n_tiles x tile int32): fully
             # resident — a CT-sized block would violate Mosaic's
             # (8, 128)-divisible block rule
-            pl.BlockSpec((btw.n_tiles, 128),
+            _bspec((btw.n_tiles, 128),
                          lambda b, t, c, starts, cstarts: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bth.n_tiles, bth.tile),
+            _bspec((bth.n_tiles, bth.tile),
                          lambda b, t, c, starts, cstarts: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
+        out_specs=_bspec(
             (bsz, bth.tile, CT * 128),
             lambda b, t, c, starts, cstarts: (b, t, c),
             memory_space=pltpu.VMEM,
