@@ -414,7 +414,20 @@ def resize(
         data_format = options.data_format if options.data_format else data_format
         output_dtype = options.output_dtype
     oh, ow = int(size[0]), int(size[1])
+    if oh <= 0 or ow <= 0:
+        # match the reference's hard check (upsample_2d_common_check,
+        # /root/reference/step_two_dot_two/aa_interpolation_impl.h:740-744)
+        # instead of numpy's "negative dimensions" or a silent empty array
+        raise ValueError(
+            f"output size must be positive, got ({oh}, {ow})"
+        )
     h_axis, w_axis = _axes_for(x, data_format)
+    if x.shape[h_axis] <= 0 or x.shape[w_axis] <= 0:
+        raise ValueError(
+            "input spatial size must be positive, got "
+            f"{x.shape[h_axis]}x{x.shape[w_axis]} (resampling from an "
+            "empty plane is undefined; the reference raises the same way)"
+        )
     in_dtype = x.dtype
     out_dtype_resolved = output_dtype if output_dtype is not None else in_dtype
     backend_resolved = backend or default_backend()

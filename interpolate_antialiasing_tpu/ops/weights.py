@@ -102,6 +102,14 @@ def make_axis_spec(
     align_corners: bool = False,
     scale_factor: float | None = None,
 ) -> AxisSpec:
+    if in_size <= 0 or out_size <= 0:
+        # the reference's hard check (upsample_2d_common_check,
+        # /root/reference/step_two_dot_two/aa_interpolation_impl.h:740-744):
+        # a 0-tap axis would otherwise build an empty table and fabricate
+        # zeros (or crash in numpy with an opaque message)
+        raise ValueError(
+            f"axis sizes must be positive, got in={in_size} out={out_size}"
+        )
     if mode == "area":
         # Exact torch `area` semantics: F.interpolate(mode="area") is
         # adaptive_avg_pool2d, whose window INCLUDES every pixel the

@@ -403,3 +403,31 @@ def test_epilogue_probe_int16_variant_byte_exact():
         epilogue_probe._device_ms = orig
     assert "error" not in out, out
     np.testing.assert_array_equal(captured["y"], ref)
+
+
+def test_degenerate_resize_sizes_raise(rng):
+    """resize() validates sizes up front: non-positive output raises the
+    reference's upsample_2d_common_check error; empty input planes raise
+    instead of silently returning zeros."""
+    x = jnp.asarray((rng.random((3, 17, 23)) * 255).astype(np.uint8))
+    for bad in [(0, 5), (5, 0), (-3, 5), (0, 0)]:
+        with pytest.raises(ValueError, match="must be positive"):
+            ia.resize(x, bad)
+    with pytest.raises(ValueError, match="must be positive"):
+        ia.resize(jnp.zeros((3, 0, 5), jnp.uint8), (4, 4))
+    with pytest.raises(ValueError, match="must be positive"):
+        ia.resize_nd(jnp.zeros((3, 4, 4), jnp.float32), [0], [-1])
+
+
+def test_tiny_output_sizes_match_pillow(rng):
+    """1-px rows/columns and 1x1 outputs stay inside the Pillow gate
+    (MaxAbsE <= 1) through the auto route."""
+    from PIL import Image
+
+    img = (rng.random((17, 23, 3)) * 255).astype(np.uint8)
+    x = jnp.asarray(img.transpose(2, 0, 1))
+    for oh, ow in [(1, 1), (2, 3), (1, 23), (17, 1), (1, 40), (40, 1)]:
+        ref = np.asarray(Image.fromarray(img).resize((ow, oh), Image.BILINEAR))
+        got = np.asarray(ia.resize(x, (oh, ow))).transpose(1, 2, 0)
+        mx = int(np.abs(got.astype(int) - ref.astype(int)).max())
+        assert mx <= 1, (oh, ow, mx)

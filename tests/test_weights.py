@@ -214,3 +214,18 @@ def test_area_tables_exact():
             assert (w[i, size[i]:] == 0).all()
         W = dense_matrix(spec, dtype=np.float64)
         np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-15)
+
+
+def test_degenerate_axis_sizes_raise():
+    """Non-positive in/out sizes raise a clear error at the table
+    chokepoint (the reference's upsample_2d_common_check) instead of
+    fabricating zeros or crashing inside numpy."""
+    from interpolate_antialiasing_tpu.ops.weights import make_axis_spec
+
+    import pytest
+
+    for insz, outsz in [(0, 4), (4, 0), (-1, 4), (4, -3), (0, 0)]:
+        with pytest.raises(ValueError, match="must be positive"):
+            make_axis_spec(insz, outsz, "bilinear")
+        with pytest.raises(ValueError, match="must be positive"):
+            make_axis_spec(insz, outsz, "area")
