@@ -194,6 +194,19 @@ def kernel_report(
         route = "single-kernel (resize2d_onekernel)"
     elif streamed:
         route = "streamed single-kernel (resize2d_streamed)"
+    elif dt == jnp.float64 and backend in ("auto", "xla"):
+        # mirror resize._pick_method_f64 (round 4): large planes take the
+        # banded XLA contraction, small ones the dense matmul
+        from ..ops.resize import _pick_method_f64
+
+        per_axis = {
+            name: _pick_method_f64(spec)
+            for name, spec in (("W", spec_w), ("H", spec_h))
+        }
+        route = (
+            "f64 XLA per-axis "
+            f"(W={per_axis['W']}, H={per_axis['H']}; no f64 MXU)"
+        )
     else:
         route = "padded pipeline / per-axis / XLA"
 

@@ -106,6 +106,19 @@ def test_kernel_report_and_hlo(tmp_path):
     assert len(hi) > 100
 
 
+def test_kernel_report_f64_routes():
+    """The report mirrors the round-4 f64 router (_pick_method_f64):
+    large planes banded, small dense, per axis."""
+    import jax.numpy as jnp
+
+    from interpolate_antialiasing_tpu.utils.inspect import kernel_report
+
+    big = kernel_report((1, 1, 2160, 3840), (1080, 1920), dtype=jnp.float64)
+    assert "W=banded" in big.route and "H=banded" in big.route, big.route
+    small = kernel_report((1, 3, 64, 48), (32, 24), dtype=jnp.float64)
+    assert "W=dense" in small.route and "H=dense" in small.route, small.route
+
+
 def test_cli_inspect(capsys):
     from interpolate_antialiasing_tpu.cli import main
 
