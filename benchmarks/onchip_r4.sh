@@ -68,6 +68,10 @@ step epilogue python benchmarks/epilogue_probe.py
 #     decides whether the round-4 promotion becomes the TPU default)
 step sharded_digit python benchmarks/sharded_digit_probe.py
 
+# 6c. f64 dense/banded crossover (validates _pick_method_f64's
+#     threshold; exits nonzero if the auto route leaves >5% anywhere)
+step f64_probe python benchmarks/f64_probe.py --out "$OUT/f64_probe.json"
+
 # 7. router crossover re-check + full workload matrix + driver bench
 step router python benchmarks/router_sweep.py
 step run_all python benchmarks/run_all.py

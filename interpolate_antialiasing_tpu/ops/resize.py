@@ -117,15 +117,19 @@ def _note_f64(x: jax.Array, spec: AxisSpec) -> None:
 
 
 def _pick_method_f64(spec: AxisSpec) -> str:
-    """f64-on-TPU route: banded for large planes, dense for small.
+    """f64-on-TPU route: banded for large tables, dense for small.
 
-    Measured on-chip (2026-08-19, device time, bit-identical outputs):
-    banded 6.16 vs dense 7.14 vs gather 18.6 ms at 438x906->196x320 b16,
-    and banded 17.2 vs dense 49.4 vs gather 55.3 ms at 4K->HD b2 — the
-    tile-compacted band does k_in-wide contractions where dense pays the
-    full [out, in] table in emulated-f64 MACs.  Tiny tables keep dense
-    (one small matmul beats per-tile overhead, cf. the f32 router sweep)."""
-    return "banded" if spec.in_size * spec.out_size > (1 << 20) else "dense"
+    Threshold from the committed crossover sweep (benchmarks/f64_probe.py
+    -> data/f64_probe.json, 2026-08-19, device time, bit-identical
+    outputs): dense wins at per-axis table area <= 32k (0.26 vs 0.38 ms
+    at 64x48 b64; 1.18 vs 1.19 ms at 256x192 b32), banded from 86k up
+    (6.59 vs 7.12 ms at the headline shape b16, 6.29 vs 8.10 at
+    768x1024 b8, 17.2 vs 48.6 at 4K b2) — the tile-compacted band does
+    k_in-wide contractions where dense pays the full [out, in] table in
+    emulated-f64 MACs, so the gap grows with size; tiny tables keep
+    dense (one small matmul beats per-tile overhead).  2^16 sits in the
+    measured gap."""
+    return "banded" if spec.in_size * spec.out_size > (1 << 16) else "dense"
 
 
 def _apply_axis(x: jax.Array, spec: AxisSpec, axis: int, backend: str) -> jax.Array:

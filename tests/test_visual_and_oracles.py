@@ -321,11 +321,15 @@ def test_f64_auto_routes_banded_on_tpu(rng, monkeypatch, capsys):
     from interpolate_antialiasing_tpu.ops import resize as rz
     from interpolate_antialiasing_tpu.ops.weights import make_axis_spec
 
-    # the pure pick: large -> banded, small -> dense
+    # the pure pick, pinned at the measured crossover (data/f64_probe.json:
+    # dense wins at per-axis table area <= 32k, banded from 86k up)
     big = make_axis_spec(2160, 1080, "bilinear")
     small = make_axis_spec(64, 32, "bilinear")
     assert rz._pick_method_f64(big) == "banded"
     assert rz._pick_method_f64(small) == "dense"
+    assert rz._pick_method_f64(make_axis_spec(256, 128, "bilinear")) == "dense"
+    assert rz._pick_method_f64(make_axis_spec(438, 196, "bilinear")) == "banded"
+    assert rz._pick_method_f64(make_axis_spec(906, 320, "bilinear")) == "banded"
 
     # end to end through the forced on-TPU branch (CPU execution: the
     # banded kernel is plain XLA, so the route runs everywhere)
