@@ -80,3 +80,22 @@ class ShapeBucketResizer:
     @property
     def shapes_compiled(self) -> int:
         return len(self._seen_shapes)
+
+    def warmup(self, shapes: Sequence[tuple], dtype=np.uint8) -> int:
+        """Precompile the resize executable for each input shape.
+
+        Serving startup hook: every resize kernel is shape-specialised
+        (XLA norm), so the first batch containing a new shape pays a
+        compile.  Feed the expected shape set here (e.g. the bucket list
+        from yesterday's traffic) and no production batch pays it.
+        Returns the number of NEW shapes compiled; combine with
+        ``IA_TPU_COMPILE_CACHE`` to persist across processes.
+        """
+        new = 0
+        for shp in shapes:
+            shp = tuple(int(s) for s in shp)
+            if shp in self._seen_shapes:
+                continue
+            self([np.zeros(shp, dtype)])
+            new += 1
+        return new

@@ -85,6 +85,25 @@ def test_resize_mixed_batch(rng):
     assert r.shapes_compiled == len({im.shape for im in images})
 
 
+def test_shape_bucket_warmup(rng):
+    """warmup() precompiles per-shape executables at startup: new shapes
+    count once, repeats and already-seen shapes are free, and warmed
+    output still matches the per-image resize."""
+    from interpolate_antialiasing_tpu.models import ShapeBucketResizer
+
+    r = ShapeBucketResizer((24, 24))
+    n = r.warmup([(3, 40, 60), (3, 47, 65), (3, 40, 60)])
+    assert n == 2 and r.shapes_compiled == 2
+    assert r.warmup([(3, 40, 60)]) == 0  # already warm
+    im = (rng.random((3, 47, 65)) * 255).astype(np.uint8)
+    y = r([im])
+    import interpolate_antialiasing_tpu as ia
+
+    np.testing.assert_array_equal(
+        np.asarray(y[0]), np.asarray(ia.resize(jnp.asarray(im), (24, 24)))
+    )
+
+
 def test_flax_module(rng):
     pytest.importorskip("flax")
     from interpolate_antialiasing_tpu.models import AAResize
