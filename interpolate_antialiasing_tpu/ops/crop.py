@@ -116,6 +116,13 @@ def crop_and_resize(
     Fully jit-compatible for traced boxes: shapes depend only on
     (H, W, OH, OW); box values only flow into the weight matrices.
 
+    Differentiable wrt the BOXES as well as the image (spatial-transformer /
+    ROI-align-style localisation): the dense weight matrices are smooth in
+    the traced corners, so ``jax.grad`` through a box-dependent loss matches
+    finite differences and gradient descent on the box alone recovers a
+    target crop (tests/test_crop.py::test_crop_box_gradients_match_fd).
+    float inputs always take this differentiable route.
+
     * ``max_box_frac``: static bound on the box span per axis as a fraction
       of the image (scalar or ``(frac_h, frac_w)``).  The TPU windowed fast
       path (crop_pallas) sizes its static input windows from it — a tighter

@@ -54,6 +54,59 @@ def test_crop_gradients(rng):
     assert g.shape == x.shape and bool(jnp.isfinite(g).all())
 
 
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+def test_crop_box_gradients_match_fd(rng, mode):
+    """crop_and_resize is differentiable wrt the BOXES, not just the image
+    (spatial-transformer / ROI-align-style localisation): box values flow
+    only into the dense weight matrices (_axis_matrix), which are smooth in
+    the traced corners, so jax.grad through a box-dependent loss matches
+    central finite differences.  float inputs always take this dense
+    differentiable route (the windowed Pallas path is uint8-only)."""
+    x = jnp.asarray(rng.random((1, 2, 17, 23)), jnp.float64)
+    tgt = jnp.asarray(rng.random((1, 2, 6, 7)), jnp.float64)
+
+    @jax.jit
+    def loss(b):
+        y = crop_and_resize(x, b, (6, 7), method=mode)
+        return jnp.sum((y - tgt) ** 2)
+
+    # knot-avoiding corners: filter arguments stay clear of the piecewise
+    # boundaries; eps is sized for the f32 arithmetic the dense crop path
+    # runs in (1e-3 measured to agree with AD to ~1e-4 relative, smaller
+    # steps drown in f32 roundoff)
+    b0 = jnp.asarray([[0.1371, 0.2113, 0.7832, 0.9071]], jnp.float64)
+    g = np.asarray(jax.grad(loss)(b0))
+    assert np.all(np.isfinite(g)) and np.all(g != 0.0)
+    eps = 1e-3
+    for k in range(4):
+        e = np.zeros((1, 4)); e[0, k] = eps
+        fd = (float(loss(b0 + e)) - float(loss(b0 - e))) / (2 * eps)
+        np.testing.assert_allclose(g[0, k], fd, rtol=2e-3, atol=1e-4)
+
+
+def test_crop_box_gradient_descent_recovers_box(rng):
+    """End-to-end localisation sanity: gradient descent on the box alone
+    (image fixed) drives a crop toward a target crop — the use case the
+    box derivative exists for."""
+    x = jnp.asarray(rng.random((1, 1, 24, 24)), jnp.float64)
+    b_true = jnp.asarray([[0.25, 0.30, 0.75, 0.85]], jnp.float64)
+    tgt = crop_and_resize(x, b_true, (8, 8))
+
+    def loss(b):
+        return jnp.sum((crop_and_resize(x, b, (8, 8)) - tgt) ** 2)
+
+    b = jnp.asarray([[0.20, 0.35, 0.80, 0.80]], jnp.float64)
+    vg = jax.jit(jax.value_and_grad(loss))
+    l0 = float(loss(b))
+    for _ in range(200):
+        v, g = vg(b)
+        b = b - 0.002 * g
+    # measured: converges to the true box (loss ratio ~6e-12); assert with
+    # wide margin so the pin survives arithmetic reassociation
+    assert float(v) < 1e-6 * l0
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b_true), atol=1e-3)
+
+
 def test_random_resized_crop(rng):
     x = jnp.asarray((rng.random((4, 3, 100, 120)) * 255).astype(np.float32))
     key = jax.random.PRNGKey(0)
