@@ -367,6 +367,46 @@ def _resize_nearest_legacy(x, oh, ow, h_axis, w_axis, scale_factors):
     return jnp.take(jnp.take(x, ih, axis=h_axis), iw, axis=w_axis)
 
 
+def _compute_dtype(in_dtype) -> jnp.dtype:
+    """Resampling arithmetic dtype for a given storage dtype.
+
+    float32/float64/bfloat16 compute natively (bf16 rides the kernels'
+    split-bf16 path, engineered to hold the Pillow gate).  Everything else
+    — uint8, signed integers, float16 — computes in float32: TPU has no
+    native f16 arithmetic and its 10-bit mantissa would quantise the
+    weights for zero speedup, and integer inputs need a float domain the
+    way the reference pre-converts uint8 (test.py:55 ``img.float()``).
+    """
+    if jnp.issubdtype(in_dtype, jnp.floating) and in_dtype != jnp.float16:
+        return in_dtype
+    return jnp.float32
+
+
+def _finalize_dtype(y: jax.Array, out_dtype) -> jax.Array:
+    """Cast a float resample result back to the requested storage dtype.
+
+    Integer targets get Pillow's rounding convention — ``floor(v + 0.5)``
+    clamped to the dtype's range — generalising the uint8 epilogue to
+    int16/int32 images (a plain ``astype`` would TRUNCATE toward zero, a
+    half-ulp downward bias on every pixel).  Clamp bounds are the widest
+    float32 values that stay inside the target range: float32 cannot
+    represent every int32 (``float32(2**31 - 1)`` rounds UP to ``2**31``,
+    which would overflow the cast), so the hi bound backs off to the
+    nearest representable float at or below the dtype max.
+    """
+    out_dtype = jnp.dtype(out_dtype)
+    if jnp.issubdtype(out_dtype, jnp.integer):
+        info = jnp.iinfo(out_dtype)
+        lo = np.float32(info.min)
+        if float(lo) < info.min:
+            lo = np.nextafter(lo, np.float32(0.0))
+        hi = np.float32(info.max)
+        if float(hi) > info.max:
+            hi = np.nextafter(hi, np.float32(0.0))
+        y = jnp.clip(jnp.floor(y.astype(jnp.float32) + 0.5), float(lo), float(hi))
+    return y.astype(out_dtype)
+
+
 def resize(
     x: jax.Array,
     size: Sequence[int],
@@ -382,7 +422,10 @@ def resize(
     """Antialiased (or classic) separable image resize.
 
     * ``x``: 2-D ``[H, W]``, 3-D ``[C, H, W]`` / ``[H, W, C]``, or batched
-      4-D+ array; uint8, float32, float64 or bfloat16.
+      4-D+ array; uint8, float32, float64 or bfloat16 (native), plus
+      float16 and signed-integer images, which are computed in float32 and
+      cast back (integers round ``floor(v + 0.5)`` clamped to the dtype
+      range — the uint8 convention generalised, not a truncating cast).
     * ``size``: output ``(height, width)``.
     * ``method``: bilinear | bicubic | nearest(≡ PIL box when antialias) |
       box | lanczos3 | hamming | area (torch's exact adaptive-average-pool
@@ -563,12 +606,7 @@ def resize(
                 if debug_enabled():
                     print("[ia-tpu] uint8 fast path (u8->f32->u8 in-kernel)")
                 return resize_axis_pallas(t, spec_h, h_axis, out_dtype=jnp.uint8)
-    if in_dtype == jnp.uint8:
-        cdtype = jnp.float32
-    elif jnp.issubdtype(in_dtype, jnp.floating):
-        cdtype = in_dtype
-    else:
-        cdtype = jnp.float32
+    cdtype = _compute_dtype(in_dtype)
     y = resize_plane(
         x.astype(cdtype),
         (oh, ow),
@@ -581,9 +619,7 @@ def resize(
         scale_factors=scale_factors,
     )
     out_dtype = output_dtype if output_dtype is not None else in_dtype
-    if out_dtype == jnp.uint8:
-        y = jnp.clip(jnp.floor(y.astype(jnp.float32) + 0.5), 0.0, 255.0)
-    return y.astype(out_dtype)
+    return _finalize_dtype(y, out_dtype)
 
 
 def interpolate(
@@ -696,7 +732,7 @@ def resize_nd(
     # Per-axis passes; under auto/pallas each axis routes to the Pallas
     # last-/middle-axis kernels when profitable (they are rank-agnostic),
     # falling back to XLA per axis otherwise.
-    cdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    cdtype = _compute_dtype(x.dtype)
     y = x.astype(cdtype)
     order = sorted(zip(axes, sizes), key=lambda t: -(t[0] % x.ndim))
     # Every pass binds the registered axis primitive, so fwd+rev autodiff
@@ -704,6 +740,4 @@ def resize_nd(
     for ax, sz in order:  # innermost axis first, like the separable driver
         spec = make_axis_spec(y.shape[ax], int(sz), method, antialias, align_corners)
         y = _apply_axis_diff(y, spec, ax % y.ndim, backend)
-    if x.dtype == jnp.uint8:
-        y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0).astype(jnp.uint8)
-    return y
+    return _finalize_dtype(y, x.dtype)
