@@ -232,9 +232,13 @@ def crop_and_resize(
                           precision=jax.lax.Precision.HIGHEST)
 
     y = jax.vmap(one)(xf, b)
-    if in_dtype == jnp.uint8:
-        y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0).astype(jnp.uint8)
-    return y
+    # library-wide storage-dtype policy (resize._finalize_dtype): integer
+    # targets round floor(v+0.5) + clamp to the dtype range, floats cast
+    # back to the input's storage dtype (previously any non-uint8 input
+    # leaked the f32 intermediate)
+    from .resize import _finalize_dtype
+
+    return _finalize_dtype(y, in_dtype)
 
 
 def random_resized_crop(

@@ -68,6 +68,23 @@ def test_resize_nd_integer_round_trip(rng):
     np.testing.assert_array_equal(np.asarray(y), want)
 
 
+def test_crop_and_resize_preserves_storage_dtype(rng):
+    """crop_and_resize follows the same policy: bf16/f16/f64 inputs come
+    back in their own dtype (it used to leak the f32 intermediate for any
+    non-uint8 input) and integer inputs round+clamp like resize()."""
+    b = jnp.asarray([[0.1, 0.1, 0.9, 0.9]])
+    for dt in (jnp.bfloat16, jnp.float16, jnp.float64):
+        x = jnp.asarray(rng.random((1, 1, 16, 16)), dt)
+        assert ia.crop_and_resize(x, b, (8, 8)).dtype == dt
+    xi = jnp.asarray(rng.integers(-900, 900, (1, 1, 16, 16)), jnp.int16)
+    yi = ia.crop_and_resize(xi, b, (8, 8))
+    assert yi.dtype == jnp.int16
+    yf = ia.crop_and_resize(xi.astype(jnp.float32), b, (8, 8))
+    np.testing.assert_array_equal(
+        np.asarray(yi), np.floor(np.asarray(yf) + 0.5).astype(np.int16)
+    )
+
+
 def test_output_dtype_integer_from_float_input(rng):
     """output_dtype=int16 on a float input rounds + clamps through the
     same epilogue (values far outside int16 saturate, not wrap)."""
