@@ -250,3 +250,31 @@ def test_fuzz_crop_windowed_boxes_near_edges(rng, method):
                               32, 48, method)
         err = np.abs(yw[n].astype(int) - ref.astype(int)).max()
         assert err <= 1, (method, n, np.asarray(boxes[n]), err)
+
+
+def test_signed_int_and_f16_random_geometries(rng):
+    """Round-4 dtype policy over random geometries: i16/i32 resizes equal
+    the f32 route rounded floor(v+0.5)+clamped, f16 equals the f32 route
+    cast — on every mode the auto router can pick at these sizes."""
+    for i in range(10):
+        h, w = int(rng.integers(3, 200)), int(rng.integers(3, 200))
+        oh, ow = int(rng.integers(1, 150)), int(rng.integers(1, 150))
+        mode = ["bilinear", "bicubic", "box", "lanczos3"][i % 4]
+        dt = [np.int16, np.int32, np.float16][i % 3]
+        if dt == np.float16:
+            x = rng.random((1, 2, h, w)).astype(np.float16)
+            y = ia.resize(jnp.asarray(x), (oh, ow), method=mode)
+            ref = ia.resize(jnp.asarray(x, jnp.float32), (oh, ow), method=mode)
+            assert y.dtype == jnp.float16
+            np.testing.assert_array_equal(
+                np.asarray(y), np.asarray(ref).astype(np.float16))
+        else:
+            info = np.iinfo(dt)
+            x = rng.integers(max(info.min, -10**6), min(info.max, 10**6),
+                             (1, 2, h, w)).astype(dt)
+            y = ia.resize(jnp.asarray(x), (oh, ow), method=mode)
+            ref = ia.resize(jnp.asarray(x, jnp.float32), (oh, ow), method=mode)
+            want = np.clip(np.floor(np.asarray(ref) + 0.5),
+                           info.min, info.max).astype(dt)
+            assert y.dtype == jnp.dtype(dt)
+            np.testing.assert_array_equal(np.asarray(y), want)
