@@ -642,7 +642,51 @@ def interpolate(
     maps to torch's legacy asymmetric rounding (``floor(i*scale)``,
     byte-exact — fuzz-tested likewise); ``nearest-exact`` maps to the
     corrected rounding.  The nearest modes disable antialias.
+    ``linear`` (3-D ``[N, C, W]``) and ``trilinear`` (5-D
+    ``[N, C, D, H, W]``) run the separable pass over 1 / 3 trailing axes
+    (matches torch non-AA to 5e-5; with ``antialias=True`` they are the
+    AA generalisation torch rejects).
     """
+    if mode in ("linear", "trilinear"):
+        # torch's 1-/3-spatial-axis aliases ([N,C,W] / [N,C,D,H,W]): the
+        # same separable bilinear pass applied over 1 or 3 trailing axes
+        # (resize_nd; the reference's backward likewise ships 1-D/2-D/3-D
+        # variants, aa_interpolation_backward_impl.h:58-150).  antialias
+        # is honoured per axis — a superset of torch, which rejects
+        # antialias=True for these modes.
+        n_sp = 1 if mode == "linear" else 3
+        if x.ndim != 2 + n_sp:
+            raise ValueError(
+                f"mode='{mode}' expects a {2 + n_sp}-D [N, C, "
+                f"{'W' if n_sp == 1 else 'D, H, W'}] tensor, got {x.ndim}-D"
+            )
+        if data_format not in (None, "channels_first"):
+            raise ValueError(f"mode='{mode}' supports channels_first only")
+        axes = tuple(range(x.ndim - n_sp, x.ndim))
+        if size is None:
+            if scale_factor is None:
+                raise ValueError("one of size / scale_factor is required")
+            if isinstance(scale_factor, (int, float)):
+                scale_factor = (float(scale_factor),) * n_sp
+            if len(scale_factor) != n_sp:
+                raise ValueError(
+                    f"scale_factor must be a scalar or length-{n_sp}"
+                )
+            sizes = [
+                int(x.shape[a] * float(s)) for a, s in zip(axes, scale_factor)
+            ]
+        else:
+            sizes = (
+                [int(size)] * n_sp
+                if isinstance(size, (int, np.integer))
+                else [int(s) for s in size]
+            )
+            if len(sizes) != n_sp:
+                raise ValueError(f"size must be a scalar or length-{n_sp}")
+        return resize_nd(
+            x, sizes, axes, method="bilinear", antialias=antialias,
+            align_corners=align_corners, backend=backend,
+        )
     if mode == "area":
         antialias = True
     elif mode in ("nearest", "nearest_legacy"):

@@ -179,3 +179,42 @@ def test_nearest_legacy_uint8_and_grad(rng):
     x = jnp.asarray(rng.random((1, 1, 8, 8)).astype(np.float32))
     g = jax.grad(lambda t: ia.resize(t, (4, 4), method="nearest_legacy").sum())(x)
     assert g.shape == x.shape and float(g.sum()) == 16.0
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_linear_and_trilinear_modes_match_torch(rng, align_corners):
+    """interpolate() honours torch's 1-/3-spatial-axis mode aliases:
+    mode='linear' on [N,C,W] and mode='trilinear' on [N,C,D,H,W] match
+    F.interpolate (non-AA; torch rejects antialias for these modes).
+    Gate is 1e-3, not the 2-D 5e-5: ATen's linear1d/trilinear kernels do
+    their source-index math in float32 (same quirk class as the
+    nearest-legacy f32-size arithmetic, SURVEY §2.2) while our tables are
+    built in f64, so lambdas differ by an f32 ulp of the source index."""
+    import torch
+
+    x1 = rng.random((2, 3, 57)).astype(np.float32) * 255.0
+    ref1 = torch.nn.functional.interpolate(
+        torch.from_numpy(x1), size=23, mode="linear",
+        align_corners=align_corners,
+    ).numpy()
+    y1 = np.asarray(ia.interpolate(
+        jnp.asarray(x1), size=23, mode="linear",
+        align_corners=align_corners, antialias=False, backend="dense",
+    ))
+    np.testing.assert_allclose(y1, ref1, atol=1e-3, rtol=1e-5)
+
+    x3 = rng.random((1, 2, 9, 14, 18)).astype(np.float32) * 255.0
+    ref3 = torch.nn.functional.interpolate(
+        torch.from_numpy(x3), size=(5, 21, 11), mode="trilinear",
+        align_corners=align_corners,
+    ).numpy()
+    y3 = np.asarray(ia.interpolate(
+        jnp.asarray(x3), size=(5, 21, 11), mode="trilinear",
+        align_corners=align_corners, antialias=False, backend="dense",
+    ))
+    np.testing.assert_allclose(y3, ref3, atol=1e-3, rtol=1e-5)
+
+    # scale_factor-driven sizes + the AA superset run (finite, right shape)
+    y_sf = ia.interpolate(jnp.asarray(x3), scale_factor=0.5, mode="trilinear")
+    assert y_sf.shape == (1, 2, 4, 7, 9)
+    assert bool(jnp.isfinite(y_sf).all())
