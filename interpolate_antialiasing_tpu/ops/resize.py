@@ -647,14 +647,17 @@ def interpolate(
     (matches torch non-AA to 5e-5; with ``antialias=True`` they are the
     AA generalisation torch rejects).
     """
-    if mode in ("linear", "trilinear"):
-        # torch's 1-/3-spatial-axis aliases ([N,C,W] / [N,C,D,H,W]): the
-        # same separable bilinear pass applied over 1 or 3 trailing axes
+    nearest_family = mode in ("nearest", "nearest_legacy", "nearest-exact")
+    if mode in ("linear", "trilinear") or (nearest_family and x.ndim in (3, 5)):
+        # torch's 1-/3-spatial-axis ranks ([N,C,W] / [N,C,D,H,W]): linear/
+        # trilinear run the separable bilinear pass over the trailing axes
         # (resize_nd; the reference's backward likewise ships 1-D/2-D/3-D
-        # variants, aa_interpolation_backward_impl.h:58-150).  antialias
-        # is honoured per axis — a superset of torch, which rejects
-        # antialias=True for these modes.
-        n_sp = 1 if mode == "linear" else 3
+        # variants, aa_interpolation_backward_impl.h:58-150), and the
+        # nearest modes point-sample every spatial axis (previously a 3-D
+        # nearest call fell into the 2-D shim and misread [N,C,W] as
+        # [C,H,W]).  antialias is honoured for linear/trilinear — a
+        # superset of torch, which rejects antialias=True for these modes.
+        n_sp = x.ndim - 2 if nearest_family else (1 if mode == "linear" else 3)
         if x.ndim != 2 + n_sp:
             raise ValueError(
                 f"mode='{mode}' expects a {2 + n_sp}-D [N, C, "
@@ -663,6 +666,7 @@ def interpolate(
         if data_format not in (None, "channels_first"):
             raise ValueError(f"mode='{mode}' supports channels_first only")
         axes = tuple(range(x.ndim - n_sp, x.ndim))
+        sfs = [None] * n_sp
         if size is None:
             if scale_factor is None:
                 raise ValueError("one of size / scale_factor is required")
@@ -672,9 +676,8 @@ def interpolate(
                 raise ValueError(
                     f"scale_factor must be a scalar or length-{n_sp}"
                 )
-            sizes = [
-                int(x.shape[a] * float(s)) for a, s in zip(axes, scale_factor)
-            ]
+            sfs = [float(s) for s in scale_factor]
+            sizes = [int(x.shape[a] * s) for a, s in zip(axes, sfs)]
         else:
             sizes = (
                 [int(size)] * n_sp
@@ -683,6 +686,19 @@ def interpolate(
             )
             if len(sizes) != n_sp:
                 raise ValueError(f"size must be a scalar or length-{n_sp}")
+        if mode in ("nearest", "nearest_legacy"):
+            # legacy asymmetric rounding, byte-exact per axis (pure
+            # gathers; keeps ATen's f32-size/f64-scale_factor index quirk)
+            y = x
+            for a, sz, s in zip(axes, sizes, sfs):
+                idx = jnp.asarray(_legacy_nearest_indices(x.shape[a], sz, s))
+                y = jnp.take(y, idx, axis=a)
+            return y
+        if mode == "nearest-exact":
+            return resize_nd(
+                x, sizes, axes, method="nearest", antialias=False,
+                backend=backend,
+            )
         return resize_nd(
             x, sizes, axes, method="bilinear", antialias=antialias,
             align_corners=align_corners, backend=backend,

@@ -218,3 +218,37 @@ def test_linear_and_trilinear_modes_match_torch(rng, align_corners):
     y_sf = ia.interpolate(jnp.asarray(x3), scale_factor=0.5, mode="trilinear")
     assert y_sf.shape == (1, 2, 4, 7, 9)
     assert bool(jnp.isfinite(y_sf).all())
+
+
+@pytest.mark.parametrize("mode", ["nearest", "nearest-exact"])
+def test_nearest_modes_3d_5d_match_torch(rng, mode):
+    """interpolate() nearest-family on torch's 1-/3-spatial ranks: a 3-D
+    [N,C,W] call used to fall into the 2-D shim and misread the layout;
+    now every spatial axis point-samples with torch's rounding (legacy
+    asymmetric for 'nearest', corrected for 'nearest-exact')."""
+    import torch
+
+    x1 = rng.random((2, 3, 57)).astype(np.float32) * 255.0
+    ref1 = torch.nn.functional.interpolate(
+        torch.from_numpy(x1), size=23, mode=mode
+    ).numpy()
+    y1 = np.asarray(ia.interpolate(jnp.asarray(x1), size=23, mode=mode))
+    np.testing.assert_array_equal(y1, ref1)
+
+    x3 = rng.random((1, 2, 9, 14, 18)).astype(np.float32) * 255.0
+    ref3 = torch.nn.functional.interpolate(
+        torch.from_numpy(x3), size=(5, 21, 11), mode=mode
+    ).numpy()
+    y3 = np.asarray(
+        ia.interpolate(jnp.asarray(x3), size=(5, 21, 11), mode=mode)
+    )
+    np.testing.assert_array_equal(y3, ref3)
+
+    # scale_factor-driven legacy path keeps ATen's f64-scale quirk
+    ref_sf = torch.nn.functional.interpolate(
+        torch.from_numpy(x3), scale_factor=0.5, mode=mode
+    ).numpy()
+    y_sf = np.asarray(
+        ia.interpolate(jnp.asarray(x3), scale_factor=0.5, mode=mode)
+    )
+    np.testing.assert_array_equal(y_sf, ref_sf)
