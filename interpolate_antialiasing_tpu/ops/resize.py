@@ -648,7 +648,9 @@ def interpolate(
     AA generalisation torch rejects).
     """
     nearest_family = mode in ("nearest", "nearest_legacy", "nearest-exact")
-    if mode in ("linear", "trilinear") or (nearest_family and x.ndim in (3, 5)):
+    if mode in ("linear", "trilinear") or (
+        (nearest_family or mode == "area") and x.ndim in (3, 5)
+    ):
         # torch's 1-/3-spatial-axis ranks ([N,C,W] / [N,C,D,H,W]): linear/
         # trilinear run the separable bilinear pass over the trailing axes
         # (resize_nd; the reference's backward likewise ships 1-D/2-D/3-D
@@ -657,7 +659,7 @@ def interpolate(
         # nearest call fell into the 2-D shim and misread [N,C,W] as
         # [C,H,W]).  antialias is honoured for linear/trilinear — a
         # superset of torch, which rejects antialias=True for these modes.
-        n_sp = x.ndim - 2 if nearest_family else (1 if mode == "linear" else 3)
+        n_sp = 1 if mode == "linear" else 3 if mode == "trilinear" else x.ndim - 2
         if x.ndim != 2 + n_sp:
             raise ValueError(
                 f"mode='{mode}' expects a {2 + n_sp}-D [N, C, "
@@ -697,6 +699,15 @@ def interpolate(
         if mode == "nearest-exact":
             return resize_nd(
                 x, sizes, axes, method="nearest", antialias=False,
+                backend=backend,
+            )
+        if mode == "area":
+            # adaptive_avg_pool windows factorise exactly across axes
+            # (uniform weights over integer per-axis windows), so the
+            # separable per-axis area tables reproduce torch's 1-D/3-D
+            # area byte-for-byte like the 2-D path does
+            return resize_nd(
+                x, sizes, axes, method="area", antialias=True,
                 backend=backend,
             )
         return resize_nd(

@@ -252,3 +252,27 @@ def test_nearest_modes_3d_5d_match_torch(rng, mode):
         ia.interpolate(jnp.asarray(x3), scale_factor=0.5, mode=mode)
     )
     np.testing.assert_array_equal(y_sf, ref_sf)
+
+
+def test_area_mode_3d_5d_match_torch(rng):
+    """mode='area' on torch's 1-/3-spatial ranks: adaptive-average-pool
+    windows factorise exactly across axes, so the separable per-axis area
+    tables match F.interpolate(mode='area') on 3-D and 5-D inputs to the
+    same gate as the 2-D fuzz (incl. fractional ratios)."""
+    import torch
+
+    x1 = rng.random((2, 3, 57)).astype(np.float32) * 255.0
+    ref1 = torch.nn.functional.interpolate(
+        torch.from_numpy(x1), size=23, mode="area"
+    ).numpy()
+    y1 = np.asarray(ia.interpolate(jnp.asarray(x1), size=23, mode="area"))
+    np.testing.assert_allclose(y1, ref1, atol=2e-4, rtol=1e-6)
+
+    x3 = rng.random((1, 2, 9, 14, 18)).astype(np.float32) * 255.0
+    ref3 = torch.nn.functional.interpolate(
+        torch.from_numpy(x3), size=(5, 21, 11), mode="area"
+    ).numpy()
+    y3 = np.asarray(
+        ia.interpolate(jnp.asarray(x3), size=(5, 21, 11), mode="area")
+    )
+    np.testing.assert_allclose(y3, ref3, atol=2e-4, rtol=1e-6)
