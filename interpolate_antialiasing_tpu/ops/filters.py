@@ -135,6 +135,15 @@ def lanczos3_filter(x, xp):
     return xp.where(ax < 3.0, val, xp.zeros_like(ax))
 
 
+def lanczos5_filter(x, xp):
+    """Lanczos-5 windowed sinc (jax.image.resize's 'lanczos5'; no Pillow
+    counterpart — PIL LANCZOS is lanczos3). Completes the jax.image
+    method set for the image_resize drop-in."""
+    ax = xp.abs(x)
+    val = xp.sinc(x) * xp.sinc(x / 5.0)
+    return xp.where(ax < 5.0, val, xp.zeros_like(ax))
+
+
 FILTERS: dict[str, Filter] = {
     "bilinear": _FnFilter("bilinear", 1.0, fn=triangle_filter),
     "linear": _FnFilter("linear", 1.0, fn=triangle_filter),
@@ -145,7 +154,12 @@ FILTERS: dict[str, Filter] = {
     "cubic": _FnFilter("cubic", 2.0, fn=keys_cubic_filter),
     "bicubic075": _FnFilter("bicubic075", 2.0, fn=keys_cubic_075_filter),
     "lanczos3": _FnFilter("lanczos3", 3.0, fn=lanczos3_filter),
+    "lanczos5": _FnFilter("lanczos5", 5.0, fn=lanczos5_filter),
     "hamming": _FnFilter("hamming", 1.0, fn=hamming_filter),
+    # jax.image.resize's name for the linear kernel on volumes — same
+    # triangle filter, so the image_resize drop-in accepts the full
+    # jax.image method vocabulary
+    "trilinear": _FnFilter("trilinear", 1.0, fn=triangle_filter),
 }
 
 

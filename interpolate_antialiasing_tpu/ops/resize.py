@@ -755,6 +755,11 @@ def image_resize(
     Resizes every axis whose target differs from the source (separable banded
     passes, Pillow-parity weights) — same call signature, so existing
     ``jax.image.resize`` call sites can switch by changing the import.
+    Accepts the full jax.image method vocabulary (``linear`` / ``bilinear``
+    / ``trilinear`` / ``cubic`` / ``lanczos3`` / ``lanczos5``) and matches
+    jax.image to float tolerance on each; the one documented divergence is
+    ``nearest``, which here means PIL's box filter under antialias (use
+    ``resize(..., method="nearest", antialias=False)`` for point sampling).
     """
     if len(shape) != image.ndim:
         raise ValueError(f"shape must have rank {image.ndim}, got {len(shape)}")

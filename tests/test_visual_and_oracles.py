@@ -448,3 +448,38 @@ def test_tiny_output_sizes_match_pillow(rng):
         got = np.asarray(ia.resize(x, (oh, ow))).transpose(1, 2, 0)
         mx = int(np.abs(got.astype(int) - ref.astype(int)).max())
         assert mx <= 1, (oh, ow, mx)
+
+
+def test_image_resize_drop_in_matches_jax_image(rng):
+    """image_resize accepts the full jax.image.resize method vocabulary
+    (linear/bilinear/trilinear/cubic/lanczos3/lanczos5) and matches it to
+    float tolerance, down- and up-sampling ('nearest' is the documented
+    divergence: ours is PIL box semantics under AA)."""
+    x = jnp.asarray(rng.random((3, 67, 91)), jnp.float32) * 255
+    for m in ("linear", "bilinear", "trilinear", "cubic",
+              "lanczos3", "lanczos5"):
+        jm = "linear" if m == "bilinear" else m
+        for oshape in [(3, 31, 44), (3, 131, 101)]:
+            ref = jax.image.resize(x, oshape, method=jm, antialias=True)
+            y = ia.image_resize(x, oshape, method=m)
+            err = float(jnp.abs(y - ref).max())
+            assert err < 5e-4, (m, oshape, err)
+
+
+def test_lanczos5_full_stack(rng):
+    """lanczos5 (no Pillow counterpart) rides the whole machinery: uint8
+    round trip within +-1 of its own f32 route, finite grads, and the
+    negative-lobe classifier routes it conservatively."""
+    from interpolate_antialiasing_tpu.ops.filters import filter_is_nonnegative
+
+    assert not filter_is_nonnegative("lanczos5")
+    u = jnp.asarray((rng.random((3, 64, 80)) * 255).astype(np.uint8))
+    yu = ia.resize(u, (24, 32), method="lanczos5")
+    yf = ia.resize(u.astype(jnp.float32), (24, 32), method="lanczos5")
+    want = np.clip(np.floor(np.asarray(yf) + 0.5), 0, 255).astype(np.uint8)
+    assert yu.dtype == jnp.uint8
+    assert np.abs(yu.astype(int) - want.astype(int)).max() <= 1
+    g = jax.grad(
+        lambda t: ia.resize(t, (24, 32), method="lanczos5").sum()
+    )(u.astype(jnp.float32))
+    assert bool(jnp.isfinite(g).all())
