@@ -156,10 +156,11 @@ FILTERS: dict[str, Filter] = {
     "lanczos3": _FnFilter("lanczos3", 3.0, fn=lanczos3_filter),
     "lanczos5": _FnFilter("lanczos5", 5.0, fn=lanczos5_filter),
     "hamming": _FnFilter("hamming", 1.0, fn=hamming_filter),
-    # jax.image.resize's name for the linear kernel on volumes — same
-    # triangle filter, so the image_resize drop-in accepts the full
+    # jax.image.resize's names for the linear/cubic kernels on volumes —
+    # same filters, so the image_resize drop-in accepts the full
     # jax.image method vocabulary
     "trilinear": _FnFilter("trilinear", 1.0, fn=triangle_filter),
+    "tricubic": _FnFilter("tricubic", 2.0, fn=keys_cubic_filter),
 }
 
 

@@ -456,7 +456,7 @@ def test_image_resize_drop_in_matches_jax_image(rng):
     float tolerance, down- and up-sampling ('nearest' is the documented
     divergence: ours is PIL box semantics under AA)."""
     x = jnp.asarray(rng.random((3, 67, 91)), jnp.float32) * 255
-    for m in ("linear", "bilinear", "trilinear", "cubic",
+    for m in ("linear", "bilinear", "trilinear", "cubic", "tricubic",
               "lanczos3", "lanczos5"):
         jm = "linear" if m == "bilinear" else m
         for oshape in [(3, 31, 44), (3, 131, 101)]:
