@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .filters import get_filter
+from .filters import CUBIC_NAMES, get_filter
 
 __all__ = ["crop_and_resize", "random_resized_crop"]
 
@@ -62,7 +62,7 @@ def _axis_matrix(lo, hi, in_size: int, out_size: int, mode: str, antialias: bool
     # classic bicubic is Keys a=-0.75.  Borders still renormalise (the
     # replicate fold is not expressible in a traced dense grid) — a
     # documented divergence from the classic path at crop edges.
-    if not antialias and get_filter(mode).name in ("bicubic", "cubic"):
+    if not antialias and get_filter(mode).name in CUBIC_NAMES:
         mode = "bicubic075"
     filt = get_filter(mode)
     span = hi - lo
@@ -188,7 +188,7 @@ def crop_and_resize(
     # no hand-maintained mode list; see filters.filter_is_nonnegative.
     quant_inter = split and filter_is_nonnegative(
         "bicubic075" if not antialias and get_filter(method).name in
-        ("bicubic", "cubic") else method
+        CUBIC_NAMES else method
     )
 
     def one(img, box):

@@ -53,7 +53,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .filters import get_filter, filter_is_nonnegative
+from .filters import CUBIC_NAMES, get_filter, filter_is_nonnegative
 from .pallas_compat import block_spec as _bspec
 from .pallas_resize import (
     _LANE,
@@ -378,7 +378,7 @@ def crop_windowed_supported(
     if not (0.0 < fh <= 1.0 and 0.0 < fw <= 1.0):
         return False
     mode = method
-    if not antialias and get_filter(method).name in ("bicubic", "cubic"):
+    if not antialias and get_filter(method).name in CUBIC_NAMES:
         mode = "bicubic075"
     if not filter_is_nonnegative(mode):
         return False
@@ -450,7 +450,7 @@ def crop_and_resize_windowed(
     N, C, H, W = x.shape
     oh, ow = int(out_hw[0]), int(out_hw[1])
     mode = method
-    if not antialias and get_filter(method).name in ("bicubic", "cubic"):
+    if not antialias and get_filter(method).name in CUBIC_NAMES:
         mode = "bicubic075"
     filt = get_filter(mode)
     support = filt.support

@@ -163,6 +163,15 @@ FILTERS: dict[str, Filter] = {
     "tricubic": _FnFilter("tricubic", 2.0, fn=keys_cubic_filter),
 }
 
+# Every registry name for the Keys cubic kernel.  The classic (non-AA)
+# path swaps these for the a=-0.75 variant (torch/OpenCV convention) —
+# ONE list, imported by every dispatch site, so a new cubic alias cannot
+# silently keep PIL's a=-0.5 on the classic path (the same single-source
+# rule the clip-eligibility and MXU cost-model constants follow).
+CUBIC_NAMES = tuple(
+    name for name, f in FILTERS.items() if f.fn is keys_cubic_filter
+)
+
 
 @functools.cache
 def filter_is_nonnegative(name: str) -> bool:

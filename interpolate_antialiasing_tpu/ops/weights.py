@@ -37,7 +37,7 @@ from typing import Any
 
 import numpy as np
 
-from .filters import Filter, get_filter
+from .filters import CUBIC_NAMES, Filter, get_filter
 
 __all__ = [
     "AxisSpec",
@@ -140,7 +140,7 @@ def make_axis_spec(
     # The classic (non-AA) bicubic convention is Keys a=-0.75 with
     # replicate borders (torch/OpenCV); the AA path is PIL's a=-0.5 with
     # renormalised borders.
-    if not antialias and get_filter(mode).name in ("bicubic", "cubic"):
+    if not antialias and get_filter(mode).name in CUBIC_NAMES:
         mode = "bicubic075"
     filt = get_filter(mode)
     border = "renorm" if antialias else "replicate"
