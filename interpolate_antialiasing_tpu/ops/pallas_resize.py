@@ -212,6 +212,9 @@ def _synth_band(spec: AxisSpec, start, j, tile: int, k_in: int):
         center = spec.scale * o_global.astype(jnp.float32) + 0.5
     else:
         center = spec.scale * (o_global.astype(jnp.float32) + 0.5)
+        if spec.span is not None:
+            # fractional source window (PIL resize box): offset the centers
+            center = center + jnp.float32(spec.span[0])
     pos = (start + k).astype(jnp.float32)  # absolute input position of tap k
     arg = (pos - center + 0.5) * spec.invscale
     w = spec.filter(arg, jnp)

@@ -58,12 +58,15 @@ PRECISION_BITS = 32 - 8 - 2  # Pillow Resample.c
 
 
 @cache
-def _int_matrix(in_size: int, out_size: int, mode: str) -> np.ndarray:
+def _int_matrix(
+    in_size: int, out_size: int, mode: str,
+    span: tuple[float, float] | None = None,
+) -> np.ndarray:
     """Dense [out, in] int32 coefficient matrix, Pillow-normalised
     (normalize_coeffs_8bpc: trunc(w * 2^22 ± 0.5), i.e. round half away
     from zero, zeros quantising to zero).  Scatter of the banded
     :func:`_int_tables` — the quantisation itself lives there, once."""
-    xmin, Wb = _int_tables(in_size, out_size, mode)
+    xmin, Wb = _int_tables(in_size, out_size, mode, span)
     ntaps = Wb.shape[1]
     K = np.zeros((out_size, in_size), np.int32)
     rows = np.repeat(np.arange(out_size), ntaps)
@@ -74,15 +77,21 @@ def _int_matrix(in_size: int, out_size: int, mode: str) -> np.ndarray:
 
 
 @cache
-def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+def _nearest_indices(
+    in_size: int, out_size: int,
+    span: tuple[float, float] | None = None,
+) -> np.ndarray:
     """Pillow NEAREST source indices: Image.resize(NEAREST) goes through the
     incremental affine scaler (ImagingScaleAffine), which starts at
     ``xin = 0.5 * a`` and truncates after repeated ``xin += a`` float64
     additions — the accumulation drift is observable and must be reproduced
     addition-by-addition for bit parity (verified empirically across
-    down/up/mixed sizes)."""
-    a = in_size / out_size
-    xin = a * 0.5
+    down/up/mixed sizes).  With a resize ``box``, the affine coefficients
+    become ``a = (hi - lo) / out`` and the start ``lo + 0.5 * a``
+    (_imaging.c ``_resize`` NEAREST branch)."""
+    lo, hi = span if span is not None else (0.0, float(in_size))
+    a = (hi - lo) / out_size
+    xin = lo + a * 0.5
     idx = np.empty(out_size, np.int32)
     for o in range(out_size):
         idx[o] = min(max(int(xin), 0), in_size - 1)
@@ -331,7 +340,10 @@ def _pass_last_int(x_u8: jax.Array, M: jax.Array) -> jax.Array:
 
 
 @cache
-def _int_tables(in_size: int, out_size: int, mode: str):
+def _int_tables(
+    in_size: int, out_size: int, mode: str,
+    span: tuple[float, float] | None = None,
+):
     """Banded form of :func:`_int_matrix`: ``(xmin[out] int32,
     Wb[out, ntaps] int32)`` with the same normalize_coeffs_8bpc
     quantisation applied to the banded float64 tables — elementwise
@@ -341,7 +353,7 @@ def _int_tables(in_size: int, out_size: int, mode: str):
     not the image)."""
     from .weights import compute_tables
 
-    spec = make_axis_spec(in_size, out_size, mode, antialias=True)
+    spec = make_axis_spec(in_size, out_size, mode, antialias=True, span=span)
     xmin, _, w = compute_tables(spec, dtype=np.float64)
     scaled = w * (1 << PRECISION_BITS)
     Wb = np.where(scaled < 0, scaled - 0.5, scaled + 0.5).astype(np.int32)
@@ -1039,6 +1051,7 @@ def resize_pil_exact(
     size: Sequence[int],
     method: str = "bilinear",
     data_format: str | None = None,
+    box: tuple[float, float, float, float] | None = None,
 ) -> jax.Array:
     """Bit-identical Pillow antialiased uint8 resize.
 
@@ -1046,6 +1059,12 @@ def resize_pil_exact(
     ``data_format``).  ``size``: ``(height, width)``.  Matches
     ``PIL.Image.resize((w, h), resample)`` exactly, byte for byte —
     verified per mode/size in tests/test_pil_exact.py.
+
+    ``box``: optional fractional source window ``(x0, y0, x1, y1)`` in PIL
+    order — byte-identical to ``PIL.Image.resize(size, resample, box=box)``
+    (precompute_coeffs' ``in0/in1`` span).  The box route contracts banded
+    int32 tables (XLA) rather than the digit kernels; tap indices still
+    clamp at the full image edges exactly like Pillow.
     """
     from .resize import _axes_for
 
@@ -1054,16 +1073,44 @@ def resize_pil_exact(
     oh, ow = int(size[0]), int(size[1])
     h_axis, w_axis = _axes_for(x, data_format)
     h_axis, w_axis = h_axis % x.ndim, w_axis % x.ndim
+    span_h = span_w = None
+    if box is not None:
+        bx0, by0, bx1, by1 = (float(v) for v in box)
+        iw, ih = x.shape[w_axis], x.shape[h_axis]
+        if not (0.0 <= bx0 < bx1 <= iw and 0.0 <= by0 < by1 <= ih):
+            raise ValueError(
+                f"box {box} must lie within (0, 0, {iw}, {ih}) with "
+                "x0 < x1 and y0 < y1 (PIL order: x = width axis)"
+            )
+        if (bx0, by0, bx1, by1) != (0.0, 0.0, float(iw), float(ih)):
+            span_w, span_h = (bx0, bx1), (by0, by1)
     if method == "pil_nearest":
         # PIL.Image.NEAREST is a point sample through the affine scaler,
         # not the resample machinery — a pure index gather, trivially
         # bit-exact.  It is named 'pil_nearest' here because this library
         # (following the reference, test.py) uses 'nearest' for PIL's BOX
         # antialias filter; the two are very different resamplers.
-        y = jnp.take(x, jnp.asarray(_nearest_indices(x.shape[h_axis], oh)),
-                     axis=h_axis)
-        return jnp.take(y, jnp.asarray(_nearest_indices(x.shape[w_axis], ow)),
-                        axis=w_axis)
+        y = jnp.take(
+            x, jnp.asarray(_nearest_indices(x.shape[h_axis], oh, span_h)),
+            axis=h_axis,
+        )
+        return jnp.take(
+            y, jnp.asarray(_nearest_indices(x.shape[w_axis], ow, span_w)),
+            axis=w_axis,
+        )
+    if span_h is not None or span_w is not None:
+        # Resize-box route: banded int32 contraction — the identical Pillow
+        # fixed-point arithmetic with [out, ntaps] tables (the digit TPU
+        # kernels are span-agnostic; the band tracks filter support, not
+        # image size, so this also serves 4K-class inputs).
+        th = _int_tables(x.shape[h_axis], oh, method, span_h)
+        tw = _int_tables(x.shape[w_axis], ow, method, span_w)
+        y = jnp.moveaxis(x, w_axis, -1)
+        y = _pass_last_int_banded(y, jnp.asarray(tw[0]), jnp.asarray(tw[1]))
+        y = jnp.moveaxis(y, -1, w_axis)
+        y = jnp.moveaxis(y, h_axis, -1)
+        y = _pass_last_int_banded(y, jnp.asarray(th[0]), jnp.asarray(th[1]))
+        return jnp.moveaxis(y, -1, h_axis)
     # TPU fast path: single-kernel digit-split pipeline (bit-identical).
     if _use_tpu_kernels():
         trailing = h_axis == x.ndim - 2 and w_axis == x.ndim - 1

@@ -289,6 +289,8 @@ def resize_plane(
     align_corners: bool = False,
     backend: str | None = None,
     scale_factors: tuple[float, float] | None = None,
+    span_h: tuple[float, float] | None = None,
+    span_w: tuple[float, float] | None = None,
 ) -> jax.Array:
     """Differentiable separable resize of the (h_axis, w_axis) plane.
 
@@ -303,10 +305,12 @@ def resize_plane(
     backend = backend or default_backend()
     sfh, sfw = scale_factors if scale_factors is not None else (None, None)
     spec_w = make_axis_spec(
-        x.shape[w_axis], out_hw[1], mode, antialias, align_corners, sfw
+        x.shape[w_axis], out_hw[1], mode, antialias, align_corners, sfw,
+        span=span_w,
     )
     spec_h = make_axis_spec(
-        x.shape[h_axis], out_hw[0], mode, antialias, align_corners, sfh
+        x.shape[h_axis], out_hw[0], mode, antialias, align_corners, sfh,
+        span=span_h,
     )
     return resize_plane_vjp(x, spec_h, spec_w, h_axis, w_axis, backend)
 
@@ -417,6 +421,7 @@ def resize(
     backend: str | None = None,
     output_dtype=None,
     scale_factors: tuple[float, float] | None = None,
+    box: tuple[float, float, float, float] | None = None,
     options=None,
 ) -> jax.Array:
     """Antialiased (or classic) separable image resize.
@@ -435,6 +440,14 @@ def resize(
       (``floor(v + 0.5)`` clamped to [0, 255]); the reference instead
       truncates via ``.byte()`` after a Python-side clamp (test.py:71-75) —
       we match Pillow, the shared oracle.
+    * ``box``: optional fractional source window ``(x0, y0, x1, y1)`` in
+      PIL order (x = width axis), resampling only that region — the
+      ``box`` argument of ``PIL.Image.resize``.  uint8 ``backend='auto'``
+      or ``'pil_exact'`` is byte-identical to
+      ``PIL.Image.resize(size, resample, box=box)``; float paths are the
+      continuous analogue (same windowed weights, float accumulation).
+      Requires the PIL center convention: no ``align_corners`` /
+      ``scale_factors`` / ``area`` / ``nearest_legacy``.
     * precision: on TPU, float32 ``backend='auto'`` runs the fused kernels
       in split-bf16 (pairwise-exact to ~2^-16 relative — holds the Pillow
       MaxAbsE <= 1 gate); pass ``backend='dense'`` or set
@@ -475,6 +488,26 @@ def resize(
             f"{x.shape[h_axis]}x{x.shape[w_axis]} (resampling from an "
             "empty plane is undefined; the reference raises the same way)"
         )
+    span_h = span_w = None
+    if box is not None:
+        if method in ("area", "nearest_legacy"):
+            raise ValueError(f"box is not defined for method={method!r}")
+        if align_corners or scale_factors is not None:
+            raise ValueError(
+                "box follows PIL.Image.resize semantics: no "
+                "align_corners/scale_factors"
+            )
+        bx0, by0, bx1, by1 = (float(v) for v in box)
+        iw, ih = x.shape[w_axis], x.shape[h_axis]
+        if not (0.0 <= bx0 < bx1 <= iw and 0.0 <= by0 < by1 <= ih):
+            raise ValueError(
+                f"box {box} must lie within (0, 0, {iw}, {ih}) with "
+                "x0 < x1 and y0 < y1 (PIL order: x = width axis)"
+            )
+        # Degenerate full-image box canonicalises to None inside
+        # make_axis_spec; keep the per-axis spans in PIL's (lo, hi) form.
+        span_w = (bx0, bx1)
+        span_h = (by0, by1)
     in_dtype = x.dtype
     out_dtype_resolved = output_dtype if output_dtype is not None else in_dtype
     backend_resolved = backend or default_backend()
@@ -496,7 +529,29 @@ def resize(
                 "backend='pil_exact' emulates PIL.Image.resize: antialias "
                 "only, no align_corners/scale_factors"
             )
-        return resize_pil_exact(x, (oh, ow), method=method, data_format=data_format)
+        return resize_pil_exact(
+            x, (oh, ow), method=method, data_format=data_format, box=box
+        )
+    # u8 -> u8 with a resize box: PIL semantics are the contract, so 'auto'
+    # stays byte-exact via the pil_exact banded int route on every platform
+    # (pure XLA; the digit kernels are span-agnostic for now).
+    # Perf-sensitive callers can pick backend='pallas' for the fused float
+    # route (MaxAbsE <= 1).
+    if (
+        box is not None
+        and in_dtype == jnp.uint8
+        and jnp.dtype(out_dtype_resolved) == jnp.dtype(jnp.uint8)
+        and backend_resolved == "auto"
+        and antialias
+    ):
+        from .pil_exact import resize_pil_exact
+
+        if debug_enabled():
+            print("[ia-tpu] uint8 auto + box -> pil_exact banded int")
+        pil_method = "box" if method == "nearest" else method
+        return resize_pil_exact(
+            x, (oh, ow), method=pil_method, data_format=data_format, box=box
+        )
     # u8 -> u8 with plain PIL semantics: the bit-exact int8 digit-split
     # kernel (backend='pil_exact' machinery) is now the FASTEST uint8 route
     # on TPU — v5e's int8 MXU path runs ~2x its bf16 rate, so three int8
@@ -559,10 +614,12 @@ def resize(
 
         sfh, sfw = scale_factors if scale_factors is not None else (None, None)
         spec_w = make_axis_spec(
-            x.shape[w_axis], ow, method, antialias, align_corners, sfw
+            x.shape[w_axis], ow, method, antialias, align_corners, sfw,
+            span=span_w,
         )
         spec_h = make_axis_spec(
-            x.shape[h_axis], oh, method, antialias, align_corners, sfh
+            x.shape[h_axis], oh, method, antialias, align_corners, sfh,
+            span=span_h,
         )
         trailing_hw = h_axis == x.ndim - 2 and w_axis == x.ndim - 1
         channels_last = h_axis == x.ndim - 3 and w_axis == x.ndim - 2
@@ -617,6 +674,8 @@ def resize(
         align_corners=align_corners,
         backend=backend,
         scale_factors=scale_factors,
+        span_h=span_h,
+        span_w=span_w,
     )
     out_dtype = output_dtype if output_dtype is not None else in_dtype
     return _finalize_dtype(y, out_dtype)

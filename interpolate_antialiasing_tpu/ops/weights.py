@@ -88,6 +88,13 @@ class AxisSpec:
     # — clamp tap indices to the edge, folding out-of-range weights onto
     # the border pixel, like ATen's index clamping).
     border: str = "renorm"
+    # Optional fractional source window (lo, hi) in input-pixel units —
+    # PIL.Image.resize's per-axis ``box`` (``precompute_coeffs(in0, in1)``):
+    # centers become ``lo + (i + 0.5) * scale`` with
+    # ``scale = (hi - lo) / out_size``, while tap indices still clamp at the
+    # FULL image edges [0, in_size) exactly like Pillow (the window may
+    # legitimately read neighbours outside the box).  None = full axis.
+    span: tuple[float, float] | None = None
 
     @property
     def filter(self) -> Filter:
@@ -101,6 +108,7 @@ def make_axis_spec(
     antialias: bool = True,
     align_corners: bool = False,
     scale_factor: float | None = None,
+    span: tuple[float, float] | None = None,
 ) -> AxisSpec:
     if in_size <= 0 or out_size <= 0:
         # the reference's hard check (upsample_2d_common_check,
@@ -110,6 +118,23 @@ def make_axis_spec(
         raise ValueError(
             f"axis sizes must be positive, got in={in_size} out={out_size}"
         )
+    if span is not None:
+        lo, hi = float(span[0]), float(span[1])
+        if not (0.0 <= lo < hi <= float(in_size)):
+            raise ValueError(
+                f"span must satisfy 0 <= lo < hi <= in_size, got ({lo}, {hi})"
+                f" for in_size={in_size}"
+            )
+        if align_corners or scale_factor is not None or mode == "area":
+            raise ValueError(
+                "span (resize box) follows PIL.Image.resize semantics: "
+                "antialias-style centers only — no align_corners, "
+                "scale_factors, or area mode"
+            )
+        if (lo, hi) == (0.0, float(in_size)):
+            span = None  # full axis: identical spec (and jit cache key)
+        else:
+            span = (lo, hi)
     if mode == "area":
         # Exact torch `area` semantics: F.interpolate(mode="area") is
         # adaptive_avg_pool2d, whose window INCLUDES every pixel the
@@ -144,7 +169,13 @@ def make_axis_spec(
         mode = "bicubic075"
     filt = get_filter(mode)
     border = "renorm" if antialias else "replicate"
-    scale = area_pixel_compute_scale(in_size, out_size, align_corners, scale_factor)
+    if span is not None:
+        # PIL precompute_coeffs(in0, in1): scale over the box span.
+        scale = (span[1] - span[0]) / out_size
+    else:
+        scale = area_pixel_compute_scale(
+            in_size, out_size, align_corners, scale_factor
+        )
     # Antialias widens the window only when downsampling (scale >= 1);
     # reference: step_two_dot_two/aa_interpolation_impl.h:207-209, 242.
     if antialias and scale >= 1.0:
@@ -165,6 +196,7 @@ def make_axis_spec(
         invscale=invscale,
         ntaps=ntaps,
         border=border,
+        span=span,
     )
 
 
@@ -175,7 +207,12 @@ def _centers(spec: AxisSpec, xp, dtype) -> Any:
         # coordinate; with align_corners the source coord of output i is
         # scale * i.
         return dtype(spec.scale) * i + dtype(0.5)
-    return dtype(spec.scale) * (i + dtype(0.5))
+    c = dtype(spec.scale) * (i + dtype(0.5))
+    if spec.span is not None:
+        # PIL: center = in0 + (i + 0.5) * scale — the addition commutes, so
+        # this is bit-identical to Pillow's double evaluation order.
+        c = c + dtype(spec.span[0])
+    return c
 
 
 def compute_tables(
