@@ -30,7 +30,7 @@ if _os.environ.get("IA_TPU_COMPILE_CACHE"):
 
 from .ops.resize import resize, interpolate, resize_plane, resize_nd, image_resize
 from .ops.crop import crop_and_resize, random_resized_crop
-from .ops.pil_exact import resize_pil_exact
+from .ops.pil_exact import reduce_pil_exact, resize_pil_exact
 from .ops.api import (
     linear_forward,
     nearest_forward,
@@ -52,6 +52,7 @@ __all__ = [
     "image_resize",
     "crop_and_resize",
     "random_resized_crop",
+    "reduce_pil_exact",
     "resize_pil_exact",
     "linear_forward",
     "nearest_forward",

@@ -42,6 +42,7 @@ Two execution paths, byte-identical by construction:
 
 from __future__ import annotations
 
+import math
 from functools import cache
 from typing import Sequence
 
@@ -52,7 +53,7 @@ import numpy as np
 from .pallas_compat import block_spec as _bspec
 from .weights import _round_up, make_axis_spec
 
-__all__ = ["resize_pil_exact", "PRECISION_BITS"]
+__all__ = ["resize_pil_exact", "reduce_pil_exact", "PRECISION_BITS"]
 
 PRECISION_BITS = 32 - 8 - 2  # Pillow Resample.c
 
@@ -1046,12 +1047,79 @@ def _pil_streamed_call(
     return compact_lanes(y, btw.tile)[:, :oh, :ow]
 
 
+def _reduce_grids(span: int, out: int, f: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-output-index block extents ``d`` along one axis (edge-clipped)."""
+    d = np.full(out, f, np.int64)
+    if out * f > span:
+        d[-1] = span - (out - 1) * f
+    return d
+
+
+def reduce_pil_exact(
+    x: jax.Array,
+    factor: int | tuple[int, int],
+    box: tuple[int, int, int, int] | None = None,
+    data_format: str | None = None,
+) -> jax.Array:
+    """Bit-identical ``PIL.Image.reduce``: integer-factor block average.
+
+    ``factor``: int or ``(factor_x, factor_y)`` (PIL order: x = width).
+    ``box``: optional INTEGER source window ``(x0, y0, x1, y1)``.  Output
+    size rounds UP (partial edge blocks average over their clipped pixel
+    count).
+
+    Pillow's Reduce.c does not divide: each output byte is
+    ``((sum + d//2) * uint32(float32(2**32) / float32(256*d))) >> 24`` with
+    ``d`` the block's (clipped) pixel count — a truncated float32
+    fixed-point reciprocal whose off-by-one-from-true-rounding cases are
+    part of the observable contract.  Reproduced exactly (fuzz-pinned
+    against ``PIL.Image.reduce`` in tests/test_box.py); the reduction runs
+    as a pad-free reshape block-sum, so it stays one XLA reduce per call.
+    """
+    from .resize import _axes_for
+
+    if x.dtype != jnp.uint8:
+        raise ValueError("reduce_pil_exact is the uint8 (8bpc) pipeline")
+    fx, fy = (factor, factor) if isinstance(factor, int) else (int(factor[0]), int(factor[1]))
+    if fx < 1 or fy < 1:
+        raise ValueError(f"factor must be >= 1, got {(fx, fy)}")
+    h_axis, w_axis = _axes_for(x, data_format)
+    h_axis, w_axis = h_axis % x.ndim, w_axis % x.ndim
+    ih, iw = x.shape[h_axis], x.shape[w_axis]
+    if box is None:
+        box = (0, 0, iw, ih)
+    x0, y0, x1, y1 = (int(v) for v in box)
+    if not (0 <= x0 < x1 <= iw and 0 <= y0 < y1 <= ih):
+        raise ValueError(f"reduce box {box} must be integral within (0, 0, {iw}, {ih})")
+    sw, sh = x1 - x0, y1 - y0
+    ow, oh = -(-sw // fx), -(-sh // fy)
+    # Host-side epilogue tables: block pixel counts and Reduce.c multipliers.
+    dxs, dys = _reduce_grids(sw, ow, fx), _reduce_grids(sh, oh, fy)
+    d = dys[:, None] * dxs[None, :]  # [oh, ow]
+    amend = (d // 2).astype(np.uint32)
+    mult = (np.float32(2**32) / (256 * d).astype(np.float32)).astype(np.uint32)
+    # Device: crop, zero-pad to whole blocks (zeros never change sums),
+    # reshape block-sum, then the exact fixed-point epilogue in uint32
+    # (the s*mult product is < 2^32 by construction: s <= 255.5*d,
+    # mult <= 2^24/d).
+    y = jnp.moveaxis(x, (h_axis, w_axis), (-2, -1))
+    lead = y.shape[:-2]
+    y = y[..., y0:y1, x0:x1]
+    pad = [(0, 0)] * (y.ndim - 2) + [(0, oh * fy - sh), (0, ow * fx - sw)]
+    y = jnp.pad(y, pad)
+    s = y.reshape(*lead, oh, fy, ow, fx).astype(jnp.uint32).sum(axis=(-3, -1))
+    v = ((s + jnp.asarray(amend)) * jnp.asarray(mult)) >> 24
+    v = v.astype(jnp.uint8)
+    return jnp.moveaxis(v, (-2, -1), (h_axis, w_axis))
+
+
 def resize_pil_exact(
     x: jax.Array,
     size: Sequence[int],
     method: str = "bilinear",
     data_format: str | None = None,
     box: tuple[float, float, float, float] | None = None,
+    reducing_gap: float | None = None,
 ) -> jax.Array:
     """Bit-identical Pillow antialiased uint8 resize.
 
@@ -1073,6 +1141,40 @@ def resize_pil_exact(
     oh, ow = int(size[0]), int(size[1])
     h_axis, w_axis = _axes_for(x, data_format)
     h_axis, w_axis = h_axis % x.ndim, w_axis % x.ndim
+    if reducing_gap is not None:
+        if reducing_gap < 1.0:
+            raise ValueError("reducing_gap must be 1.0 or greater")
+        # PIL.Image.resize's two-step optimisation, replicated expression by
+        # expression (truncating int() factor picks, _get_safe_box support
+        # margins, box rescale) so the shortcut output stays byte-identical.
+        # NEAREST skips it, exactly like Pillow.
+        if method != "pil_nearest":
+            from .filters import get_filter
+
+            iw, ih = x.shape[w_axis], x.shape[h_axis]
+            b = tuple(float(v) for v in box) if box is not None else (
+                0.0, 0.0, float(iw), float(ih))
+            factor_x = int((b[2] - b[0]) / ow / reducing_gap) or 1
+            factor_y = int((b[3] - b[1]) / oh / reducing_gap) or 1
+            if factor_x > 1 or factor_y > 1:
+                fsup = get_filter(method).support - 0.5
+                sx = fsup * (b[2] - b[0]) / ow
+                sy = fsup * (b[3] - b[1]) / oh
+                rb = (
+                    max(0, int(b[0] - sx)),
+                    max(0, int(b[1] - sy)),
+                    min(iw, math.ceil(b[2] + sx)),
+                    min(ih, math.ceil(b[3] + sy)),
+                )
+                x = reduce_pil_exact(
+                    x, (factor_x, factor_y), box=rb, data_format=data_format
+                )
+                box = (
+                    (b[0] - rb[0]) / factor_x,
+                    (b[1] - rb[1]) / factor_y,
+                    (b[2] - rb[0]) / factor_x,
+                    (b[3] - rb[1]) / factor_y,
+                )
     span_h = span_w = None
     if box is not None:
         bx0, by0, bx1, by1 = (float(v) for v in box)

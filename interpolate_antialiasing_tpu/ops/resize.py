@@ -422,6 +422,7 @@ def resize(
     output_dtype=None,
     scale_factors: tuple[float, float] | None = None,
     box: tuple[float, float, float, float] | None = None,
+    reducing_gap: float | None = None,
     options=None,
 ) -> jax.Array:
     """Antialiased (or classic) separable image resize.
@@ -448,6 +449,12 @@ def resize(
       continuous analogue (same windowed weights, float accumulation).
       Requires the PIL center convention: no ``align_corners`` /
       ``scale_factors`` / ``area`` / ``nearest_legacy``.
+    * ``reducing_gap``: PIL's two-step shortcut (integer
+      :func:`reduce_pil_exact` block average, then resample with the box
+      rescaled onto the reduced image) — byte-identical to
+      ``PIL.Image.resize(..., reducing_gap=g)``.  uint8 -> uint8 PIL
+      routes only (``backend='auto'``/``'pil_exact'``): it is a Pillow
+      8bpc pipeline contract, not a continuous-math feature.
     * precision: on TPU, float32 ``backend='auto'`` runs the fused kernels
       in split-bf16 (pairwise-exact to ~2^-16 relative — holds the Pillow
       MaxAbsE <= 1 gate); pass ``backend='dense'`` or set
@@ -511,6 +518,23 @@ def resize(
     in_dtype = x.dtype
     out_dtype_resolved = output_dtype if output_dtype is not None else in_dtype
     backend_resolved = backend or default_backend()
+    if reducing_gap is not None:
+        pil_route = (
+            backend_resolved in ("auto", "pil_exact")
+            and in_dtype == jnp.uint8
+            and jnp.dtype(out_dtype_resolved) == jnp.dtype(jnp.uint8)
+            and antialias
+            and not align_corners
+            and scale_factors is None
+            and method not in ("area", "nearest_legacy")
+        )
+        if not pil_route:
+            raise ValueError(
+                "reducing_gap replicates PIL.Image.resize's uint8 two-step "
+                "pipeline byte-for-byte: uint8 -> uint8 with "
+                "backend='auto'/'pil_exact', antialias, no align_corners/"
+                "scale_factors (reduce first yourself for other routes)"
+            )
     if method == "nearest_legacy":
         # Pure index gather, byte-exact vs torch mode='nearest' (always
         # non-AA; the method name implies it, so antialias is ignored).
@@ -530,7 +554,8 @@ def resize(
                 "only, no align_corners/scale_factors"
             )
         return resize_pil_exact(
-            x, (oh, ow), method=method, data_format=data_format, box=box
+            x, (oh, ow), method=method, data_format=data_format, box=box,
+            reducing_gap=reducing_gap,
         )
     # u8 -> u8 with a resize box: PIL semantics are the contract, so 'auto'
     # stays byte-exact via the pil_exact banded int route on every platform
@@ -538,7 +563,7 @@ def resize(
     # Perf-sensitive callers can pick backend='pallas' for the fused float
     # route (MaxAbsE <= 1).
     if (
-        box is not None
+        (box is not None or reducing_gap is not None)
         and in_dtype == jnp.uint8
         and jnp.dtype(out_dtype_resolved) == jnp.dtype(jnp.uint8)
         and backend_resolved == "auto"
@@ -547,10 +572,11 @@ def resize(
         from .pil_exact import resize_pil_exact
 
         if debug_enabled():
-            print("[ia-tpu] uint8 auto + box -> pil_exact banded int")
+            print("[ia-tpu] uint8 auto + box/reducing_gap -> pil_exact")
         pil_method = "box" if method == "nearest" else method
         return resize_pil_exact(
-            x, (oh, ow), method=pil_method, data_format=data_format, box=box
+            x, (oh, ow), method=pil_method, data_format=data_format, box=box,
+            reducing_gap=reducing_gap,
         )
     # u8 -> u8 with plain PIL semantics: the bit-exact int8 digit-split
     # kernel (backend='pil_exact' machinery) is now the FASTEST uint8 route
