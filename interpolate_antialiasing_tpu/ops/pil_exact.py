@@ -51,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pallas_compat import block_spec as _bspec
-from .weights import _round_up, make_axis_spec
+from .weights import _round_up, make_axis_spec, pil_box_f32
 
 __all__ = ["resize_pil_exact", "reduce_pil_exact", "PRECISION_BITS"]
 
@@ -89,9 +89,15 @@ def _nearest_indices(
     addition-by-addition for bit parity (verified empirically across
     down/up/mixed sizes).  With a resize ``box``, the affine coefficients
     become ``a = (hi - lo) / out`` and the start ``lo + 0.5 * a``
-    (_imaging.c ``_resize`` NEAREST branch)."""
-    lo, hi = span if span is not None else (0.0, float(in_size))
-    a = (hi - lo) / out_size
+    (_imaging.c ``_resize`` NEAREST branch) — with the box coords rounded
+    through C float and the span length subtracted in float32 before the
+    double divide (the box is parsed as ``float[4]``; see
+    :func:`..weights.pil_box_f32`)."""
+    if span is not None:
+        lo, _, span_len = pil_box_f32(*span)
+    else:
+        lo, span_len = 0.0, float(in_size)
+    a = span_len / out_size
     xin = lo + a * 0.5
     idx = np.empty(out_size, np.int32)
     for o in range(out_size):
@@ -1047,8 +1053,8 @@ def _pil_streamed_call(
     return compact_lanes(y, btw.tile)[:, :oh, :ow]
 
 
-def _reduce_grids(span: int, out: int, f: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-output-index block extents ``d`` along one axis (edge-clipped)."""
+def _reduce_grids(span: int, out: int, f: int) -> np.ndarray:
+    """Block extent per output index along ONE axis (edge-clipped)."""
     d = np.full(out, f, np.int64)
     if out * f > span:
         d[-1] = span - (out - 1) * f

@@ -48,6 +48,7 @@ __all__ = [
     "banded_tiles",
     "banded_tiles_from_matrix",
     "transpose_dense_matrix",
+    "pil_box_f32",
 ]
 
 
@@ -64,6 +65,26 @@ def area_pixel_compute_scale(
     if scale_factor is not None and scale_factor > 0:
         return 1.0 / scale_factor
     return in_size / out_size if out_size > 0 else 0.0
+
+
+def pil_box_f32(lo: float, hi: float) -> tuple[float, float, float]:
+    """Pillow's C float boundary for the resize ``box``, reproduced exactly.
+
+    ``Image.resize(box=...)`` hands the box to C as ``float[4]`` (parsed with
+    ``"ffff"`` in ``_imaging.c:_resize``), so each coordinate is rounded to
+    float32 before any resampling math; ``Resample.c:precompute_coeffs``
+    then receives float ``in0``/``in1`` and the span length ``in1 - in0`` is
+    a float32 subtraction before the double divide by ``out_size``.  Keeping
+    full float64 here produces off-by-one bytes for boxes whose coordinates
+    are not exactly representable in float32 (verified empirically vs
+    Pillow 12: f64 spans mismatch, f32-rounded spans match byte-exactly).
+
+    Returns ``(lo32, hi32, span_len32)`` as Python floats (each exactly
+    float32-representable).  Idempotent, so safe to apply at every entry.
+    """
+    lo32 = np.float32(lo)
+    hi32 = np.float32(hi)
+    return float(lo32), float(hi32), float(hi32 - lo32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,7 +140,10 @@ def make_axis_spec(
             f"axis sizes must be positive, got in={in_size} out={out_size}"
         )
     if span is not None:
-        lo, hi = float(span[0]), float(span[1])
+        # Round through float32 FIRST (Pillow's C float[4] box boundary),
+        # then validate/canonicalise on the rounded values — exactly the
+        # order _imaging.c sees them.
+        lo, hi, _ = pil_box_f32(span[0], span[1])
         if not (0.0 <= lo < hi <= float(in_size)):
             raise ValueError(
                 f"span must satisfy 0 <= lo < hi <= in_size, got ({lo}, {hi})"
@@ -170,8 +194,10 @@ def make_axis_spec(
     filt = get_filter(mode)
     border = "renorm" if antialias else "replicate"
     if span is not None:
-        # PIL precompute_coeffs(in0, in1): scale over the box span.
-        scale = (span[1] - span[0]) / out_size
+        # PIL precompute_coeffs(in0, in1): scale over the box span, with the
+        # span length computed as a float32 subtraction (C float operands)
+        # before the double divide — see pil_box_f32.
+        scale = pil_box_f32(span[0], span[1])[2] / out_size
     else:
         scale = area_pixel_compute_scale(
             in_size, out_size, align_corners, scale_factor

@@ -183,3 +183,115 @@ def test_box_grads(rng):
         span_h=(2.5, 20.0), span_w=(0.75, 30.0),
     )
     check_grads(f, (x,), order=2, modes=("fwd", "rev"), atol=1e-6, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Pillow's C float boundary: non-float32-representable box coordinates
+# ---------------------------------------------------------------------------
+
+def test_pil_box_f32_helper():
+    """pil_box_f32 rounds coords to f32 and subtracts IN f32 (not f64)."""
+    from interpolate_antialiasing_tpu.ops.weights import pil_box_f32
+
+    lo, hi = 1 / 3, 100 + 1 / 7
+    lo32, hi32, ln = pil_box_f32(lo, hi)
+    assert lo32 == float(np.float32(lo)) and hi32 == float(np.float32(hi))
+    # the f32 subtraction differs from the exact f64 difference of the
+    # rounded coords — this distinction is the whole point of the helper
+    assert ln == float(np.float32(np.float32(hi) - np.float32(lo)))
+    assert ln != hi32 - lo32
+    # idempotent: feeding back the rounded values changes nothing
+    assert pil_box_f32(lo32, hi32) == (lo32, hi32, ln)
+
+
+@pytest.mark.parametrize("method", ["bilinear", "bicubic", "lanczos3"])
+def test_box_f32_fuzz_byte_identical(method):
+    """Fuzz: fractional boxes NOT representable in float32 stay byte-exact.
+
+    Pillow parses the box as C float[4] and computes the span length with a
+    float32 subtraction (Resample.c precompute_coeffs receives float
+    in0/in1); full-f64 span math produces off-by-one bytes for such boxes
+    (advisor finding, round 4 — verified 24/24 mismatching before the
+    pil_box_f32 fix, 0/24 after)."""
+    rng_ = np.random.default_rng(99)
+    img = rng_.integers(0, 256, (96, 104, 3), dtype=np.uint8)
+    pim = Image.fromarray(img)
+    out = (41, 33)  # (w, h) — one jit specialisation per method
+    for _ in range(4):
+        x0 = float(rng_.uniform(0, 8) + 1 / 3)
+        y0 = float(rng_.uniform(0, 8) + 1 / 7)
+        x1 = float(rng_.uniform(90, 103) + 2 / 3)
+        y1 = float(rng_.uniform(82, 95) + 5 / 7)
+        box = (x0, y0, x1, y1)
+        ref = np.asarray(pim.resize(out, PIL_RESAMPLE[method], box=box))
+        got = np.asarray(
+            ia.resize(jnp.asarray(img), (out[1], out[0]), method=method,
+                      data_format="HWC", backend="pil_exact", box=box)
+        )
+        assert (ref == got).all(), (
+            box, int(np.abs(ref.astype(int) - got.astype(int)).max()))
+
+
+def test_box_f32_nearest_byte_identical(u8img):
+    """NEAREST with a non-f32 box: the affine coefficients are built from
+    the f32-rounded coords (f32 span subtraction) too."""
+    box = (1 / 3, 1 / 7, 90 + 2 / 3, 60 + 5 / 7)
+    ref = np.asarray(Image.fromarray(u8img).resize((40, 30), Image.NEAREST, box=box))
+    got = np.asarray(
+        ia.resize(jnp.asarray(u8img), (30, 40), method="pil_nearest",
+                  data_format="HWC", box=box)
+    )
+    assert (ref == got).all()
+
+
+# ---------------------------------------------------------------------------
+# PIL.Image.reduce parity (reduce_pil_exact) and reducing_gap end-to-end
+# ---------------------------------------------------------------------------
+
+def test_reduce_pil_exact_fuzz():
+    """Fuzz reduce_pil_exact vs PIL.Image.reduce: random shapes, factors,
+    integer boxes, including partial edge blocks (output rounds UP and the
+    clipped blocks average over their true pixel count via Reduce.c's
+    truncated-f32 fixed-point reciprocal)."""
+    from interpolate_antialiasing_tpu.ops.pil_exact import reduce_pil_exact
+
+    rng_ = np.random.default_rng(7)
+    for t in range(10):
+        ih, iw = int(rng_.integers(9, 70)), int(rng_.integers(9, 70))
+        fx, fy = int(rng_.integers(1, 7)), int(rng_.integers(1, 7))
+        img = rng_.integers(0, 256, (ih, iw, 3), dtype=np.uint8)
+        if t % 2:
+            x0 = int(rng_.integers(0, iw // 3)); y0 = int(rng_.integers(0, ih // 3))
+            x1 = int(rng_.integers(x0 + 1, iw + 1)); y1 = int(rng_.integers(y0 + 1, ih + 1))
+            box = (x0, y0, x1, y1)
+        else:
+            box = None
+        ref = np.asarray(Image.fromarray(img).reduce((fx, fy), box=box))
+        got = np.asarray(reduce_pil_exact(jnp.asarray(img), (fx, fy), box=box,
+                                          data_format="HWC"))
+        assert got.shape == ref.shape, (ref.shape, got.shape, (ih, iw, fx, fy, box))
+        assert (ref == got).all(), ((ih, iw, fx, fy, box),
+                                    int(np.abs(ref.astype(int) - got.astype(int)).max()))
+
+
+@pytest.mark.parametrize("reducing_gap", [2.0, 3.0])
+def test_reducing_gap_byte_identical(u8img, reducing_gap):
+    """End-to-end reducing_gap: PIL's two-step reduce+resize pipeline
+    (Image.resize(reducing_gap=...)) byte-for-byte, no box."""
+    ref = np.asarray(Image.fromarray(u8img).resize(
+        (40, 30), Image.BILINEAR, reducing_gap=reducing_gap))
+    got = np.asarray(ia.resize(jnp.asarray(u8img), (30, 40), method="bilinear",
+                               data_format="HWC", reducing_gap=reducing_gap))
+    assert (ref == got).all()
+
+
+def test_reducing_gap_with_box_byte_identical(u8img):
+    """reducing_gap + fractional box: the Python-level f64 box rescale
+    (Image.py) composes with the C-level f32 rounding of the FINAL box —
+    both boundaries must be modelled to stay byte-exact."""
+    box = (1 / 3, 2 / 7, 90 + 1 / 3, 62 + 3 / 7)
+    ref = np.asarray(Image.fromarray(u8img).resize(
+        (24, 18), Image.BICUBIC, box=box, reducing_gap=2.0))
+    got = np.asarray(ia.resize(jnp.asarray(u8img), (18, 24), method="bicubic",
+                               data_format="HWC", box=box, reducing_gap=2.0))
+    assert (ref == got).all()
