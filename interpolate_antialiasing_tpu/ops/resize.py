@@ -376,13 +376,31 @@ def _compute_dtype(in_dtype) -> jnp.dtype:
 
     float32/float64/bfloat16 compute natively (bf16 rides the kernels'
     split-bf16 path, engineered to hold the Pillow gate).  Everything else
-    — uint8, signed integers, float16 — computes in float32: TPU has no
-    native f16 arithmetic and its 10-bit mantissa would quantise the
-    weights for zero speedup, and integer inputs need a float domain the
-    way the reference pre-converts uint8 (test.py:55 ``img.float()``).
+    — integers, float16 — computes in a float domain the way the reference
+    pre-converts uint8 (test.py:55 ``img.float()``):
+
+    * <= 16-bit integers and f16 -> float32.  f32's 24-bit mantissa holds
+      every 8/16-bit pixel exactly, and the accumulated dot-product error
+      (~n*eps*maxval ~ 0.04 at uint16) keeps the rounded integer result
+      within MaxAbsE <= 1 of the f64 computation (gated in
+      tests/test_dtypes.py).  f16 never computes natively: TPU has no f16
+      arithmetic and its 10-bit mantissa would quantise the weights for
+      zero speedup.
+    * 32/64-bit integers -> float64 (when x64 is enabled): f32 cannot even
+      represent pixels above 2**24, so exactness near the integer range
+      top requires the wide accumulator; f64 rides the XLA banded path on
+      TPU like any other f64 resize.  With x64 disabled JAX would silently
+      truncate f64 to f32, so the rule falls back to f32 there (documented
+      trace-time semantics, same convention as config.py's env dials).
     """
     if jnp.issubdtype(in_dtype, jnp.floating) and in_dtype != jnp.float16:
         return in_dtype
+    if (
+        jnp.issubdtype(in_dtype, jnp.integer)
+        and jnp.iinfo(in_dtype).bits > 16
+        and jax.config.jax_enable_x64
+    ):
+        return jnp.float64
     return jnp.float32
 
 
@@ -391,23 +409,27 @@ def _finalize_dtype(y: jax.Array, out_dtype) -> jax.Array:
 
     Integer targets get Pillow's rounding convention — ``floor(v + 0.5)``
     clamped to the dtype's range — generalising the uint8 epilogue to
-    int16/int32 images (a plain ``astype`` would TRUNCATE toward zero, a
-    half-ulp downward bias on every pixel).  Clamp bounds are the widest
-    float32 values that stay inside the target range: float32 cannot
-    represent every int32 (``float32(2**31 - 1)`` rounds UP to ``2**31``,
-    which would overflow the cast), so the hi bound backs off to the
-    nearest representable float at or below the dtype max.
+    16/32-bit images (a plain ``astype`` would TRUNCATE toward zero, a
+    half-ulp downward bias on every pixel).  Rounding happens in the
+    ARRIVING float dtype (f64 results from the wide-integer rule must not
+    be squeezed through f32 first, which would undo the whole point).
+    Clamp bounds are the widest same-dtype floats that stay inside the
+    target range: float32 cannot represent every int32
+    (``float32(2**31 - 1)`` rounds UP to ``2**31``, which would overflow
+    the cast), so the hi bound backs off to the nearest representable
+    float at or below the dtype max.
     """
     out_dtype = jnp.dtype(out_dtype)
     if jnp.issubdtype(out_dtype, jnp.integer):
         info = jnp.iinfo(out_dtype)
-        lo = np.float32(info.min)
+        fdt = np.float64 if y.dtype == jnp.float64 else np.float32
+        lo = fdt(info.min)
         if float(lo) < info.min:
-            lo = np.nextafter(lo, np.float32(0.0))
-        hi = np.float32(info.max)
+            lo = np.nextafter(lo, fdt(0.0))
+        hi = fdt(info.max)
         if float(hi) > info.max:
-            hi = np.nextafter(hi, np.float32(0.0))
-        y = jnp.clip(jnp.floor(y.astype(jnp.float32) + 0.5), float(lo), float(hi))
+            hi = np.nextafter(hi, fdt(0.0))
+        y = jnp.clip(jnp.floor(y.astype(fdt) + fdt(0.5)), float(lo), float(hi))
     return y.astype(out_dtype)
 
 
@@ -429,9 +451,12 @@ def resize(
 
     * ``x``: 2-D ``[H, W]``, 3-D ``[C, H, W]`` / ``[H, W, C]``, or batched
       4-D+ array; uint8, float32, float64 or bfloat16 (native), plus
-      float16 and signed-integer images, which are computed in float32 and
-      cast back (integers round ``floor(v + 0.5)`` clamped to the dtype
-      range — the uint8 convention generalised, not a truncating cast).
+      float16 and other integer images (signed or unsigned, 8–64 bit),
+      which compute in a float domain wide enough to hold every pixel
+      exactly — f32 for <=16-bit (MaxAbsE <= 1 of the f64 result, the
+      uint8 gate at depth), f64 for wider when x64 is enabled — and cast
+      back (integers round ``floor(v + 0.5)`` clamped to the dtype range —
+      the uint8 convention generalised, not a truncating cast).
     * ``size``: output ``(height, width)``.
     * ``method``: bilinear | bicubic | nearest(≡ PIL box when antialias) |
       box | lanczos3 | hamming | area (torch's exact adaptive-average-pool
