@@ -29,6 +29,7 @@ if _os.environ.get("IA_TPU_COMPILE_CACHE"):
         pass
 
 from .ops.resize import resize, interpolate, resize_plane, resize_nd, image_resize
+from .ops.scale_translate import scale_and_translate
 from .ops.crop import crop_and_resize, random_resized_crop
 from .ops.pil_exact import reduce_pil_exact, resize_pil_exact
 from .ops.api import (
@@ -50,6 +51,7 @@ __all__ = [
     "resize_plane",
     "resize_nd",
     "image_resize",
+    "scale_and_translate",
     "crop_and_resize",
     "random_resized_crop",
     "reduce_pil_exact",
