@@ -168,12 +168,29 @@ def main():
     # 4. backward (VJP) workload
     xs = jnp.asarray(rng.random((8, 3, 438, 906)).astype(np.float32))
 
-    def bwd(t):
-        f = lambda u: ia.resize_plane(u, (196, 320), 2, 3, mode="bilinear")
+    def bwd(t, mode="bilinear"):
+        f = lambda u: ia.resize_plane(u, (196, 320), 2, 3, mode=mode)
         y, vjp = jax.vjp(f, t)
         return vjp(y)[0]
 
     report("bilinear-vjp-b8", bwd, xs, 8 * 196 * 320)
+    # BASELINE config 4 names bilinear AND bicubic VJPs; the reference left
+    # cubic backward as a TODO (test.py:110-116) — here it is measured.
+    report("bicubic-vjp-b8", lambda t: bwd(t, "bicubic"), xs, 8 * 196 * 320)
+
+    # 4b. train-step resize backward: resize INSIDE a differentiated loss
+    # (the augmentation-in-the-graph workload) — grads flow through the
+    # transposed-band adjoint as part of a whole jitted step.
+    tgt = jnp.asarray(rng.random((8, 3, 196, 320)).astype(np.float32))
+
+    def train_step_bwd(t):
+        def loss(u):
+            y = ia.resize_plane(u, (196, 320), 2, 3, mode="bilinear")
+            return jnp.mean((y - tgt) ** 2)
+
+        return jax.grad(loss)(t)
+
+    report("train-step-resize-bwd-b8", train_step_bwd, xs, 8 * 196 * 320)
 
     # 5. video: batch-8 bf16 3840x2160 -> 1920x1080
     xv = jnp.asarray(rng.random((8, 3, 2160, 3840)).astype(np.float32)).astype(
