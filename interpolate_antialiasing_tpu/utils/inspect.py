@@ -43,6 +43,10 @@ class KernelReport:
     axes: list  # per-axis dicts: ntaps, k_in, n_tiles, density, MMACs
     total_mmacs: float  # MACs in millions, single-precision-pass count
     hbm_mbytes: float  # essential input+output traffic
+    # algorithmically necessary MACs (nonzero weight taps only — no band
+    # padding, no digit redundancy); executed/useful is the overhead the
+    # implementation pays for static shapes + bit-exactness
+    total_useful_mmacs: float = 0.0
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -237,6 +241,8 @@ def kernel_report(
                 n_tiles=bt.n_tiles,
                 density=density,
                 mmacs=mmacs,
+                # nonzero taps only: the algorithmic lower bound per pass
+                useful_mmacs=rows * nz / 1e6,
             )
         )
         total += mmacs
@@ -249,17 +255,30 @@ def kernel_report(
 
         if pil_whole:
             tile_h = _pick_tile_h(H, oh, m)
-            geo = [(_digit_tiles(W, ow, m)[0], 128),
-                   (_digit_tiles(H, oh, m, tile=tile_h)[0], tile_h)]
+            # (tiles, tile, lane pitch): the W pass slices digit planes
+            # along result lanes at pitch 128; the H pass along sublanes
+            # at pitch = tile (see _digit_tiles docstring)
+            geo = [(_digit_tiles(W, ow, m)[0], 128, 128),
+                   (_digit_tiles(H, oh, m, tile=tile_h)[0], tile_h, tile_h)]
         else:
             btw, _, _, bth, _, _ = _stream_tiles(H, W, oh, ow, m)
-            geo = [(btw, btw.tile), (bth, bth.tile)]
-        for ax, (bt, tl) in zip(axes, geo):
+            geo = [(btw, btw.tile, 128), (bth, bth.tile, bth.tile)]
+        for ax, rows, (bt, tl, pitch) in zip(axes, (H, ow), geo):
+            # what the digit kernel hands the MXU per plane: one
+            # [rows, k_in] @ [k_in, 3*pitch] matmul per tile (3 digit
+            # planes side by side); 'eff' additionally pads K to the
+            # MXU's 128-deep passes (measured: int8 matmul time goes as
+            # ceil(K/128) — the round-3 geometry study), which is the
+            # honest divisor against a dense-matmul ceiling.
+            k_eff = 128 * (-(-bt.k_in // 128))
             ax.update(
                 digit_tile=tl,
+                digit_pitch=pitch,
                 digit_k_in=bt.k_in,
                 digit_n_tiles=bt.n_tiles,
                 digit_k_passes=-(-bt.k_in // 128),
+                digit_exec_mmacs=rows * bt.n_tiles * bt.k_in * 3 * pitch / 1e6,
+                digit_exec_eff_mmacs=rows * bt.n_tiles * k_eff * 3 * pitch / 1e6,
             )
     hbm = lead * (H * W * dt.itemsize + oh * ow * dt.itemsize) / 1e6
     return KernelReport(
@@ -271,6 +290,7 @@ def kernel_report(
         axes=axes,
         total_mmacs=total,
         hbm_mbytes=hbm,
+        total_useful_mmacs=sum(a["useful_mmacs"] for a in axes),
     )
 
 
