@@ -143,6 +143,16 @@ def main():
         64 * 196 * 320,
     )
 
+    # 2b'. the round-5 2-digit pb=14 dial: MaxAbsE <= 1 at 2/3 the MXU work
+    from interpolate_antialiasing_tpu.ops.pil_exact import resize_pil_exact
+
+    report(
+        "pil-2digit-u8-b64[digits=2]",
+        lambda t: resize_pil_exact(t, (196, 320), digits=2),
+        x,
+        64 * 196 * 320,
+    )
+
     # 2c. crop ops: traced-box crop_and_resize, batch 64 from the headline res
     b01 = rng.uniform(0.0, 0.35, size=(64, 2)).astype(np.float32)
     b23 = rng.uniform(0.65, 1.0, size=(64, 2)).astype(np.float32)

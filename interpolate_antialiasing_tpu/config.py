@@ -48,6 +48,26 @@ def default_precision() -> str:
     return v
 
 
+def default_pil_digits() -> int:
+    """uint8 digit-kernel accuracy/speed dial (IA_TPU_PIL_DIGITS env):
+
+      * ``3`` (default) — Pillow's pb=22 grid, byte-identical output.
+      * ``2`` — pb=14 two-digit grid: 2/3 the MXU work, MaxAbsE <= 1 vs
+        Pillow (admission-gated on tap count; wider windows silently run
+        exact).  Round-5 on-chip: headline 0.261 -> 0.188 ms/b64 (1.39x),
+        4K streamed 1.105 -> 0.861 ms (1.28x).
+
+    Applies to the u8->u8 'auto' promotion and backend='pil_exact'
+    (``resize_pil_exact(digits=...)`` overrides per call).  Like
+    IA_TPU_PRECISION, read at TRACE time.  Byte-exactness study:
+    benchmarks/digit2_study.py / data/digit2_study.json.
+    """
+    v = os.environ.get("IA_TPU_PIL_DIGITS", "3")
+    if v not in ("2", "3"):
+        raise ValueError(f"IA_TPU_PIL_DIGITS={v!r}; expected 2 or 3")
+    return int(v)
+
+
 @dataclasses.dataclass(frozen=True)
 class ResizeOptions:
     """Static knobs for one resize call (part of the jit cache key).

@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import debug_enabled
 from .pallas_compat import block_spec as _bspec
 from .weights import _round_up, make_axis_spec, pil_box_f32
 
@@ -62,12 +63,14 @@ PRECISION_BITS = 32 - 8 - 2  # Pillow Resample.c
 def _int_matrix(
     in_size: int, out_size: int, mode: str,
     span: tuple[float, float] | None = None,
+    pb: int = PRECISION_BITS,
 ) -> np.ndarray:
     """Dense [out, in] int32 coefficient matrix, Pillow-normalised
-    (normalize_coeffs_8bpc: trunc(w * 2^22 ± 0.5), i.e. round half away
-    from zero, zeros quantising to zero).  Scatter of the banded
-    :func:`_int_tables` — the quantisation itself lives there, once."""
-    xmin, Wb = _int_tables(in_size, out_size, mode, span)
+    (normalize_coeffs_8bpc: trunc(w * 2^pb ± 0.5), i.e. round half away
+    from zero, zeros quantising to zero; Pillow's own pb is 22).  Scatter
+    of the banded :func:`_int_tables` — the quantisation itself lives
+    there, once."""
+    xmin, Wb = _int_tables(in_size, out_size, mode, span, pb)
     ntaps = Wb.shape[1]
     K = np.zeros((out_size, in_size), np.int32)
     rows = np.repeat(np.arange(out_size), ntaps)
@@ -106,26 +109,33 @@ def _nearest_indices(
     return idx
 
 
-def _split_digits(K: np.ndarray) -> np.ndarray:
+def _split_digits(K: np.ndarray, ndig: int = 3) -> np.ndarray:
     """Balanced base-256 digit planes of an int32 coefficient matrix.
 
-    Returns ``D[3, out, in]`` int8 with ``K = D[2]*2^16 + D[1]*2^8 + D[0]``
-    and every digit in ``[-128, 127]`` — each plane is a native int8 MXU
+    Returns ``D[ndig, out, in]`` int8 with ``K = sum_i D[i] * 256^i`` and
+    every digit in ``[-128, 127]`` — each plane is a native int8 MXU
     operand (v5e's int8 matmul path runs ~2.5x the bf16 rate, measured
-    in-session; see docs/BENCHMARKS.md).
+    in-session; see docs/BENCHMARKS.md).  ``ndig=3`` covers Pillow's own
+    pb=22 coefficients; ``ndig=2`` the pb=14 fast-dial grid.
     """
     k = K.astype(np.int64)
-    d0 = ((k + 128) % 256) - 128
-    k1 = (k - d0) >> 8
-    d1 = ((k1 + 128) % 256) - 128
-    d2 = (k1 - d1) >> 8
-    assert np.abs(d2).max() <= 127, "coefficient exceeds 3 int8 digits"
-    return np.stack([d0, d1, d2]).astype(np.int8)
+    digs = []
+    for i in range(ndig):
+        if i == ndig - 1:
+            d = k  # top digit: remaining headroom
+        else:
+            d = ((k + 128) % 256) - 128
+        digs.append(d)
+        k = (k - d) >> 8
+    assert np.abs(digs[-1]).max() <= 127, (
+        f"coefficient exceeds {ndig} int8 digits")
+    return np.stack(digs).astype(np.int8)
 
 
 @cache
 def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1,
-                 tile: int = 128, pitch: int | None = None):
+                 tile: int = 128, pitch: int | None = None,
+                 pb: int = PRECISION_BITS, ndig: int = 3):
     """Tile-compacted digit bands + rounding/bias constants (Pallas path).
 
     One window layout (starts, k_in) derived from the full coefficient
@@ -162,17 +172,17 @@ def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1,
     pitch = tile if pitch is None else pitch
     assert pitch >= tile
     cap = in_size if align == 1 else -(-in_size // align) * align
-    K = _int_matrix(in_size, out_size, mode)
+    K = _int_matrix(in_size, out_size, mode, None, pb)
     base = banded_tiles_from_matrix(
         K.astype(np.float64), tile=tile, dtype=np.float32, align=align,
         in_cap=cap,
     )
-    D = _split_digits(K)  # [3, out, in] int8
+    D = _split_digits(K, ndig)  # [ndig, out, in] int8
     n_tiles, k_in = base.n_tiles, base.k_in
     # digit planes concatenated along the output (lane) dim: one
-    # [k_in, 3*pitch] int8 matmul per tile instead of three [k_in, tile]
-    # ones — the MXU amortises the weight load over 3x the output columns.
-    bands = np.zeros((n_tiles, k_in, 3 * pitch), dtype=np.int8)
+    # [k_in, ndig*pitch] int8 matmul per tile instead of ndig [k_in, tile]
+    # ones — the MXU amortises the weight load over ndig x the output cols.
+    bands = np.zeros((n_tiles, k_in, ndig * pitch), dtype=np.int8)
     ct = np.zeros((n_tiles, pitch), dtype=np.int64)
     colsum = K.astype(np.int64).sum(axis=1)  # [out]
     for t in range(n_tiles):
@@ -180,12 +190,12 @@ def _digit_tiles(in_size: int, out_size: int, mode: str, align: int = 1,
         o1 = min((t + 1) * tile, out_size)
         rows = D[:, t * tile : o1, :]
         seg = rows[:, :, s : min(s + k_in, in_size)]
-        for d in range(3):
+        for d in range(ndig):
             bands[t, : seg.shape[2], d * pitch : d * pitch + seg.shape[1]] = (
                 np.swapaxes(seg[d], 0, 1)
             )
         ct[t, : o1 - t * tile] = 128 * colsum[t * tile : o1]
-    ct += 1 << (PRECISION_BITS - 1)
+    ct += 1 << (pb - 1)
     assert np.abs(ct).max() < 2**31
     # NB: return *numpy* arrays, never jax arrays: this function is
     # @cache'd and may first run inside a jit trace, where jnp.asarray
@@ -329,13 +339,14 @@ def _use_tpu_kernels() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _clip8(acc: jax.Array) -> jax.Array:
+def _clip8(acc: jax.Array, pb: int = PRECISION_BITS) -> jax.Array:
     """Pillow clip8: arithmetic shift then clamp to [0, 255]."""
-    v = acc >> PRECISION_BITS
+    v = acc >> pb
     return jnp.clip(v, 0, 255).astype(jnp.uint8)
 
 
-def _pass_last_int(x_u8: jax.Array, M: jax.Array) -> jax.Array:
+def _pass_last_int(x_u8: jax.Array, M: jax.Array,
+                   pb: int = PRECISION_BITS) -> jax.Array:
     """uint8 [..., in] -> uint8 [..., out] via int32 fixed-point MAC."""
     acc = jax.lax.dot_general(
         x_u8.astype(jnp.int32),
@@ -343,13 +354,14 @@ def _pass_last_int(x_u8: jax.Array, M: jax.Array) -> jax.Array:
         (((x_u8.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return _clip8(acc + (1 << (PRECISION_BITS - 1)))
+    return _clip8(acc + (1 << (pb - 1)), pb)
 
 
 @cache
 def _int_tables(
     in_size: int, out_size: int, mode: str,
     span: tuple[float, float] | None = None,
+    pb: int = PRECISION_BITS,
 ):
     """Banded form of :func:`_int_matrix`: ``(xmin[out] int32,
     Wb[out, ntaps] int32)`` with the same normalize_coeffs_8bpc
@@ -362,7 +374,7 @@ def _int_tables(
 
     spec = make_axis_spec(in_size, out_size, mode, antialias=True, span=span)
     xmin, _, w = compute_tables(spec, dtype=np.float64)
-    scaled = w * (1 << PRECISION_BITS)
+    scaled = w * (1 << pb)
     Wb = np.where(scaled < 0, scaled - 0.5, scaled + 0.5).astype(np.int32)
     xmin = xmin.astype(np.int32)
     for a in (xmin, Wb):
@@ -371,7 +383,8 @@ def _int_tables(
 
 
 def _pass_last_int_banded(
-    x_u8: jax.Array, xmin: jax.Array, Wb: jax.Array
+    x_u8: jax.Array, xmin: jax.Array, Wb: jax.Array,
+    pb: int = PRECISION_BITS,
 ) -> jax.Array:
     """uint8 [..., in] -> uint8 [..., out] via banded int32 fixed-point
     MAC: gather each output's ``ntaps`` window and contract — the exact
@@ -383,7 +396,7 @@ def _pass_last_int_banded(
     idx = jnp.clip(idx, 0, x_u8.shape[-1] - 1)
     g = jnp.take(x_u8, idx, axis=-1).astype(jnp.int32)  # [..., out, ntaps]
     acc = (g * Wb).sum(-1)
-    return _clip8(acc + (1 << (PRECISION_BITS - 1)))
+    return _clip8(acc + (1 << (pb - 1)), pb)
 
 
 # ---------------------------------------------------------------------------
@@ -411,7 +424,7 @@ def _kernel_mid_digit(starts_ref, x_ref, band_ref, ct_ref, o_ref, *,
         band_ref[j], xs, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [3*128, WT]
-    u = _fixup_int(S[:128], S[128:256], S[256:], ct_ref[j][:, None],
+    u = _fixup_int((S[:128], S[128:256], S[256:]), ct_ref[j][:, None],
                    clip=clip)
     o_ref[0, :, :] = u.astype(jnp.uint8)
 
@@ -473,19 +486,16 @@ def digit_pass_mid_dynamic(
 # ---------------------------------------------------------------------------
 
 
-def _fixup_int(S0, S1, S2, ct, clip=True):
+def _fixup_int(parts, ct, clip=True, pb=PRECISION_BITS):
     """Recombine int32 digit sums into Pillow's accumulator and clip:
-    ``clip8((S2<<16) + (S1<<8) + S0 + ct)`` where ``ct`` carries both the
+    ``clip8(sum_i(parts[i] << 8i) + ct)`` where ``ct`` carries both the
     signed-pixel bias and Pillow's rounding constant (see _digit_tiles).
     The shifted partials may wrap int32; the true accumulator fits, so
     modular addition lands on the exact value."""
-    acc = (
-        jax.lax.shift_left(S2, jnp.int32(16))
-        + jax.lax.shift_left(S1, jnp.int32(8))
-        + S0
-        + ct
-    )
-    v = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
+    acc = ct
+    for i, S in enumerate(parts):
+        acc = acc + (S if i == 0 else jax.lax.shift_left(S, jnp.int32(8 * i)))
+    v = jax.lax.shift_right_arithmetic(acc, jnp.int32(pb))
     if not clip:
         return v  # provably in [0, 255]: see _needs_clip
     return jnp.clip(v, jnp.int32(0), jnp.int32(255))
@@ -494,7 +504,7 @@ def _fixup_int(S0, S1, S2, ct, clip=True):
 def _kernel_2pass_pil(
     x_ref, bandw_ref, bandh_ref, ctw_ref, cth_ref, o_ref,
     *, bsz, OH, OW, starts_w, k_in_w, starts_h, k_in_h,
-    clip_w=True, clip_h=True, tile_h=128,
+    clip_w=True, clip_h=True, tile_h=128, pb=PRECISION_BITS, ndig=3,
 ):
     """Both Pillow fixed-point passes (uint8 intermediate included) in one
     kernel: per axis, 3 native int8 MXU digit matmuls (signed pixels
@@ -528,14 +538,14 @@ def _kernel_2pass_pil(
         # yields clip8(acc)-128 as clip(acc'>>PB, -128, 127) exactly
         # (floor-shift composes), so the subtract runs on the [128]-wide
         # constant, not the whole tile.
-        ct1 = ctw_ref[t] - jnp.int32(128 << PRECISION_BITS)
-        acc = (
-            jax.lax.shift_left(S[:, 256:], jnp.int32(16))
-            + jax.lax.shift_left(S[:, 128:256], jnp.int32(8))
-            + S[:, :128]
-            + ct1[None, :]
-        )
-        v = jax.lax.shift_right_arithmetic(acc, jnp.int32(PRECISION_BITS))
+        ct1 = ctw_ref[t] - jnp.int32(128 << pb)
+        acc = ct1[None, :]
+        for d in range(ndig):
+            Sd = S[:, d * 128 : (d + 1) * 128]
+            acc = acc + (
+                Sd if d == 0 else jax.lax.shift_left(Sd, jnp.int32(8 * d))
+            )
+        v = jax.lax.shift_right_arithmetic(acc, jnp.int32(pb))
         if clip_w:
             v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
         return v.astype(jnp.int8)
@@ -554,7 +564,7 @@ def _kernel_2pass_pil(
             S = jax.lax.dot_general(
                 win, bandw_ref[t], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )  # [rows, 3*128]: the three digit sums side by side
+            )  # [rows, ndig*128]: the digit sums side by side
             wtiles.append(w_epilogue(S, t))
         per_img.append(wtiles)
     # pass 2 (H) on the quantised intermediates -> u8 output rows; all
@@ -570,12 +580,12 @@ def _kernel_2pass_pil(
             S = jax.lax.dot_general(
                 bandh_ref[t], win, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )  # [3*tile_h, OWp]: digit sums stacked along result SUBLANES
-            # (sub-128 tile_h keeps these slices 8-granular and free while
-            # dropping a whole 128-deep MXU K pass — see _pick_tile_h)
+            )  # [ndig*tile_h, OWp]: digit sums stacked along result
+            # SUBLANES (sub-128 tile_h keeps these slices 8-granular and
+            # free while dropping a whole 128-deep MXU K pass, _pick_tile_h)
             u8v = _fixup_int(
-                S[:th], S[th : 2 * th], S[2 * th :], cth_ref[t][:, None],
-                clip=clip_h,
+                tuple(S[d * th : (d + 1) * th] for d in range(ndig)),
+                cth_ref[t][:, None], clip=clip_h, pb=pb,
             )
             rows = min(th, OH - t * th)
             o_ref[bi, t * th : t * th + rows, :OW] = (
@@ -583,10 +593,10 @@ def _kernel_2pass_pil(
             )
 
 
-def _pil_vmem_bytes(H, W, OH, OW, btw, bth, bsz) -> int:
+def _pil_vmem_bytes(H, W, OH, OW, btw, bth, bsz, ndig=3) -> int:
     up = _round_up
-    band = 3 * (btw.n_tiles * btw.k_in * btw.tile
-                + bth.n_tiles * bth.k_in * bth.tile)
+    band = ndig * (btw.n_tiles * btw.k_in * btw.tile
+                   + bth.n_tiles * bth.k_in * bth.tile)
     per_img = (
         up(H, 32) * up(W, 128) * 2  # u8 in, double buffered
         + up(H, 32) * btw.out_padded  # int8 intermediate scratch
@@ -614,8 +624,11 @@ def pil_exact_pallas_supported(shape, oh, ow, method: str) -> bool:
     return _pil_vmem_bytes(H, W, oh, ow, btw, bth, 1) <= _PIL_VMEM_BUDGET
 
 
-def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
-    """x3: uint8 [B, H, W] -> uint8 [B, oh, ow], bit-identical to Pillow."""
+def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str,
+                             pb: int = PRECISION_BITS, ndig: int = 3):
+    """x3: uint8 [B, H, W] -> uint8 [B, oh, ow], bit-identical to Pillow
+    (at the default pb=22/ndig=3; the pb=14/ndig=2 fast dial holds
+    MaxAbsE <= 1, see resize_pil_exact(digits=2))."""
     from functools import partial as _partial
 
     from jax.experimental import pallas as pl
@@ -623,12 +636,13 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
 
     B, H, W = x3.shape
     tile_h = _pick_tile_h(H, oh, method)
-    btw, bandsw, ctw = _digit_tiles(W, ow, method)
-    bth, bandsh, cth = _digit_tiles(H, oh, method, tile=tile_h)
+    btw, bandsw, ctw = _digit_tiles(W, ow, method, pb=pb, ndig=ndig)
+    bth, bandsh, cth = _digit_tiles(H, oh, method, tile=tile_h, pb=pb,
+                                    ndig=ndig)
     bsz = 1
     for cand in range(min(8, B), 0, -1):
         if B % cand == 0 and _pil_vmem_bytes(
-            H, W, oh, ow, btw, bth, cand
+            H, W, oh, ow, btw, bth, cand, ndig
         ) <= _PIL_VMEM_BUDGET:
             bsz = cand
             break
@@ -644,6 +658,8 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
         clip_w=_needs_clip(W, ow, method),
         clip_h=_needs_clip(H, oh, method),
         tile_h=tile_h,
+        pb=pb,
+        ndig=ndig,
     )
     return pl.pallas_call(
         kern,
@@ -652,9 +668,9 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
         in_specs=[
             _bspec((bsz, H, W), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            _bspec((btw.n_tiles, btw.k_in, 3 * 128),
+            _bspec((btw.n_tiles, btw.k_in, ndig * 128),
                          lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-            _bspec((bth.n_tiles, bth.k_in, 3 * tile_h),
+            _bspec((bth.n_tiles, bth.k_in, ndig * tile_h),
                          lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
             _bspec((btw.n_tiles, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -666,8 +682,8 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
         # NB: no scratch ref — the intermediate is SSA values (Mosaic
         # allocates equivalent VMEM, still counted by _pil_vmem_bytes)
         cost_estimate=pl.CostEstimate(
-            flops=2 * 3 * B * (H * btw.k_in * btw.out_padded
-                               + bth.k_in * bth.out_padded * btw.out_padded),
+            flops=2 * ndig * B * (H * btw.k_in * btw.out_padded
+                                  + bth.k_in * bth.out_padded * btw.out_padded),
             bytes_accessed=B * (H * W + oh * ow),
             transcendentals=0,
         ),
@@ -684,7 +700,7 @@ def _resize_pil_exact_pallas(x3: jax.Array, oh: int, ow: int, method: str):
 
 
 def _pil_streamed_vmem(ccols, tiles_per_chunk, btw, bth, bsz=1,
-                       single_chunk=False) -> int:
+                       single_chunk=False, ndig=3) -> int:
     k_rows = bth.k_in
     # the W band block is double-buffered only while it actually streams
     # (n_chunks > 1); with a single chunk its index map is constant and
@@ -693,8 +709,8 @@ def _pil_streamed_vmem(ccols, tiles_per_chunk, btw, bth, bsz=1,
     return (
         2 * bsz * k_rows * ccols  # u8 window, double buffered
         + bsz * k_rows * tiles_per_chunk * 128  # int8 intermediate
-        + wband_bufs * tiles_per_chunk * btw.k_in * 3 * 128
-        + bth.n_tiles * k_rows * 3 * bth.tile  # H band resident
+        + wband_bufs * tiles_per_chunk * btw.k_in * ndig * 128
+        + bth.n_tiles * k_rows * ndig * bth.tile  # H band resident
         + (2 * tiles_per_chunk * 128 + bth.n_tiles * bth.tile) * 4  # biases
         + 2 * bsz * bth.tile * tiles_per_chunk * 128  # u8 out blocks
     )
@@ -777,16 +793,18 @@ def pil_auto_promotable(shape, oh, ow, method: str, antialias: bool = True
     ) or pil_exact_streamed_supported(shape, oh, ow, m)
 
 
-def _stream_tiles(H, W, oh, ow, method):
+def _stream_tiles(H, W, oh, ow, method, pb=PRECISION_BITS, ndig=3):
     """The streamed route's (btw, bandsw, ctw, bth, bandsh, cth) with both
     round-3 tile-width knobs applied: sub-128 H tiles (sublane-sliced,
     free) and sub-128 W tiles at lane pitch 128 (see _pick_tile_w) — one
     place, so the admission gate and the executor can never disagree on
     the geometry."""
     bth, bandsh, cth = _digit_tiles(
-        H, oh, method, align=8, tile=_pick_tile_h(H, oh, method, align=8))
+        H, oh, method, align=8, tile=_pick_tile_h(H, oh, method, align=8),
+        pb=pb, ndig=ndig)
     tile_w = _pick_tile_w(W, ow, method, k_rows=bth.k_in, tile_h=bth.tile)
-    btw, bandsw, ctw = _digit_tiles(W, ow, method, tile=tile_w, pitch=128)
+    btw, bandsw, ctw = _digit_tiles(W, ow, method, tile=tile_w, pitch=128,
+                                    pb=pb, ndig=ndig)
     return btw, bandsw, ctw, bth, bandsh, cth
 
 
@@ -805,7 +823,7 @@ def pil_exact_streamed_supported(shape, oh, ow, method: str) -> bool:
 def _kernel_2pass_pil_streamed(
     starts_ref, cstarts_ref, x_hbm, bandw_ref, bandh_ref, ctw_ref, cth_ref,
     o_ref, win, sem, *, k_rows, chunks, k_in_w, bsz=1,
-    clip_w=True, clip_h=True, tile_h=128,
+    clip_w=True, clip_h=True, tile_h=128, pb=PRECISION_BITS, ndig=3,
 ):
     """One (bsz-image block, output-row tile, column chunk) per step: DMA
     the halo'd uint8 row-and-column window for ``bsz`` images at once, run
@@ -882,16 +900,15 @@ def _kernel_2pass_pil_streamed(
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
-                    ct1 = ctw_ref[wt] - jnp.int32(128 << PRECISION_BITS)
-                    acc = (
-                        jax.lax.shift_left(S[:, 256:], jnp.int32(16))
-                        + jax.lax.shift_left(S[:, 128:256], jnp.int32(8))
-                        + S[:, :128]
-                        + ct1[None, :]
-                    )
-                    v = jax.lax.shift_right_arithmetic(
-                        acc, jnp.int32(PRECISION_BITS)
-                    )
+                    ct1 = ctw_ref[wt] - jnp.int32(128 << pb)
+                    acc = ct1[None, :]
+                    for d in range(ndig):
+                        Sd = S[:, d * 128 : (d + 1) * 128]
+                        acc = acc + (
+                            Sd if d == 0
+                            else jax.lax.shift_left(Sd, jnp.int32(8 * d))
+                        )
+                    v = jax.lax.shift_right_arithmetic(acc, jnp.int32(pb))
                     if clip_w:
                         v = jnp.clip(v, jnp.int32(-128), jnp.int32(127))
                     wtiles.append(v.astype(jnp.int8))
@@ -908,13 +925,15 @@ def _kernel_2pass_pil_streamed(
                 S = jax.lax.dot_general(
                     bandh_ref[t], inters[bi], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                )  # [3*tile_h, wci]: digits along result sublanes
-                u8v = _fixup_int(S[:th], S[th : 2 * th], S[2 * th :],
-                                 cth_ref[t][:, None], clip=clip_h)
+                )  # [ndig*tile_h, wci]: digits along result sublanes
+                u8v = _fixup_int(
+                    tuple(S[d * th : (d + 1) * th] for d in range(ndig)),
+                    cth_ref[t][:, None], clip=clip_h, pb=pb)
                 o_ref[bi, :, :wci] = u8v.astype(jnp.uint8)
 
 
-def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
+def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str,
+                               pb: int = PRECISION_BITS, ndig: int = 3):
     """x3: uint8 [B, H, W] -> uint8 [B, oh, ow], bit-identical to Pillow,
     streaming halo'd row windows (input never fully resident in VMEM).
 
@@ -926,7 +945,8 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
     there, as before.
     """
     B, H, W = x3.shape
-    btw, bandsw, ctw, bth, bandsh, cth = _stream_tiles(H, W, oh, ow, method)
+    btw, bandsw, ctw, bth, bandsh, cth = _stream_tiles(H, W, oh, ow, method,
+                                                       pb, ndig)
     Hp, Wp = _round_up(H, 8), _round_up(W, 128)
     if (Hp, Wp) != (H, W):
         # zero pad rows/cols carry zero digit weight -> bit-identical
@@ -943,7 +963,8 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
         try:
             return _pil_streamed_call(
                 x3, H, W, oh, ow, method, plan,
-                btw, bandsw, ctw, bth, bandsh, cth, bsz=bsz,
+                btw, bandsw, ctw, bth, bandsh, cth, bsz=bsz, pb=pb,
+                ndig=ndig,
             )
         except Exception as e:  # Mosaic VMEM admission (eager path only)
             if not tracing and "vmem" in str(e).lower() and bsz > 1:
@@ -969,7 +990,7 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str):
 
 def _pil_streamed_call(
     x3, H, W, oh, ow, method, plan, btw, bandsw, ctw, bth, bandsh, cth,
-    bsz=None,
+    bsz=None, pb=PRECISION_BITS, ndig=3,
 ):
     from functools import partial as _partial
 
@@ -986,7 +1007,7 @@ def _pil_streamed_call(
     if C * CT > btw.n_tiles:  # pad the band array to whole chunks
         padt = C * CT - btw.n_tiles
         bandsw = np.concatenate(
-            [bandsw, np.zeros((padt, btw.k_in, 3 * 128), np.int8)])
+            [bandsw, np.zeros((padt, btw.k_in, ndig * 128), np.int8)])
     kern = _partial(
         _kernel_2pass_pil_streamed,
         k_rows=bth.k_in,
@@ -996,16 +1017,18 @@ def _pil_streamed_call(
         clip_w=_needs_clip(W, ow, method),
         clip_h=_needs_clip(H, oh, method),
         tile_h=bth.tile,
+        pb=pb,
+        ndig=ndig,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B // bsz, T, C),
         in_specs=[
             _bspec(memory_space=pl.ANY),  # x stays in HBM
-            _bspec((CT, btw.k_in, 3 * 128),
+            _bspec((CT, btw.k_in, ndig * 128),
                          lambda b, t, c, starts, cstarts: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            _bspec((bth.n_tiles, bth.k_in, 3 * bth.tile),
+            _bspec((bth.n_tiles, bth.k_in, ndig * bth.tile),
                          lambda b, t, c, starts, cstarts: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             # bias constants are tiny (n_tiles x tile int32): fully
@@ -1035,7 +1058,7 @@ def _pil_streamed_call(
         ),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 3 * B * T * bth.k_in * (btw.k_in + 128) * btw.out_padded,
+            flops=2 * ndig * B * T * bth.k_in * (btw.k_in + 128) * btw.out_padded,
             bytes_accessed=B * T * C * bth.k_in * plan.ccols + B * oh * ow,
             transcendentals=0,
         ),
@@ -1126,6 +1149,7 @@ def resize_pil_exact(
     data_format: str | None = None,
     box: tuple[float, float, float, float] | None = None,
     reducing_gap: float | None = None,
+    digits: int | None = None,
 ) -> jax.Array:
     """Bit-identical Pillow antialiased uint8 resize.
 
@@ -1139,14 +1163,45 @@ def resize_pil_exact(
     (precompute_coeffs' ``in0/in1`` span).  The box route contracts banded
     int32 tables (XLA) rather than the digit kernels; tap indices still
     clamp at the full image edges exactly like Pillow.
+
+    ``digits``: the accuracy/speed dial.  ``3`` (default) is Pillow's own
+    pb=22 grid — byte-identical output.  ``2`` quantises the same double
+    weights at pb=14 into TWO balanced int8 digits — 2/3 the MXU work on
+    the digit kernels, guaranteed ``MaxAbsE <= 1`` vs Pillow whenever the
+    per-axis tap count is <= 57 (per-pass pre-round error
+    ``ntaps * 0.5 * 255 / 2^14 < 0.45``, two passes < 1 — the same bound
+    the crop route's _digit_plan uses; wider windows silently upgrade
+    back to 3 digits).  The round-5 byte-exactness study
+    (benchmarks/digit2_study.py, data/digit2_study.json) shows pb=14 is
+    byte-identical only for degenerate geometries, so 2-digit ships as a
+    documented +-1 dial rather than an exactness mode.
     """
     from .resize import _axes_for
 
     if x.dtype != jnp.uint8:
         raise ValueError("resize_pil_exact is the uint8 (8bpc) pipeline")
+    if digits is None:
+        from ..config import default_pil_digits
+
+        digits = default_pil_digits()  # IA_TPU_PIL_DIGITS, trace-time
+    if digits not in (2, 3):
+        raise ValueError(f"digits must be 2 or 3, got {digits!r}")
     oh, ow = int(size[0]), int(size[1])
     h_axis, w_axis = _axes_for(x, data_format)
     h_axis, w_axis = h_axis % x.ndim, w_axis % x.ndim
+    pb, ndig = PRECISION_BITS, 3
+    if digits == 2 and method != "pil_nearest":
+        from .weights import make_axis_spec as _mas
+
+        ntaps = max(
+            _mas(x.shape[h_axis], oh, method, antialias=True).ntaps,
+            _mas(x.shape[w_axis], ow, method, antialias=True).ntaps,
+        )
+        if ntaps <= 57:  # the +-1 bound's admission (see docstring)
+            pb, ndig = 14, 2
+        elif debug_enabled():
+            print(f"[ia-tpu] digits=2 declined (ntaps={ntaps} > 57): "
+                  "falling back to the exact 3-digit grid")
     if reducing_gap is not None:
         if reducing_gap < 1.0:
             raise ValueError("reducing_gap must be 1.0 or greater")
@@ -1211,13 +1266,15 @@ def resize_pil_exact(
         # fixed-point arithmetic with [out, ntaps] tables (the digit TPU
         # kernels are span-agnostic; the band tracks filter support, not
         # image size, so this also serves 4K-class inputs).
-        th = _int_tables(x.shape[h_axis], oh, method, span_h)
-        tw = _int_tables(x.shape[w_axis], ow, method, span_w)
+        th = _int_tables(x.shape[h_axis], oh, method, span_h, pb)
+        tw = _int_tables(x.shape[w_axis], ow, method, span_w, pb)
         y = jnp.moveaxis(x, w_axis, -1)
-        y = _pass_last_int_banded(y, jnp.asarray(tw[0]), jnp.asarray(tw[1]))
+        y = _pass_last_int_banded(y, jnp.asarray(tw[0]), jnp.asarray(tw[1]),
+                                  pb)
         y = jnp.moveaxis(y, -1, w_axis)
         y = jnp.moveaxis(y, h_axis, -1)
-        y = _pass_last_int_banded(y, jnp.asarray(th[0]), jnp.asarray(th[1]))
+        y = _pass_last_int_banded(y, jnp.asarray(th[0]), jnp.asarray(th[1]),
+                                  pb)
         return jnp.moveaxis(y, -1, h_axis)
     # TPU fast path: single-kernel digit-split pipeline (bit-identical).
     if _use_tpu_kernels():
@@ -1229,7 +1286,6 @@ def resize_pil_exact(
         if channels_last:  # C-sized lanes waste the MXU; transpose round-trip
             xk = jnp.moveaxis(x, -1, -3)
         if trailing or channels_last:
-            from ..config import debug_enabled
 
             lead = xk.shape[:-2]
             B = int(np.prod(lead)) if lead else 1
@@ -1238,7 +1294,8 @@ def resize_pil_exact(
                 if debug_enabled():
                     print("[ia-tpu] pil_exact digit-split single-kernel")
                 x3 = _resize_pil_exact_pallas(
-                    xk.reshape(B, xk.shape[-2], xk.shape[-1]), oh, ow, method
+                    xk.reshape(B, xk.shape[-2], xk.shape[-1]), oh, ow, method,
+                    pb=pb, ndig=ndig,
                 )
             elif pil_exact_streamed_supported(xk.shape, oh, ow, method):
                 # too large for whole-image VMEM blocks (e.g. 4K frames):
@@ -1246,17 +1303,18 @@ def resize_pil_exact(
                 if debug_enabled():
                     print("[ia-tpu] pil_exact digit-split streamed")
                 x3 = _resize_pil_exact_streamed(
-                    xk.reshape(B, xk.shape[-2], xk.shape[-1]), oh, ow, method
+                    xk.reshape(B, xk.shape[-2], xk.shape[-1]), oh, ow, method,
+                    pb=pb, ndig=ndig,
                 )
             if x3 is not None:
                 y = x3.reshape(*lead, oh, ow)
                 return jnp.moveaxis(y, -3, -1) if channels_last else y
-    Mh = jnp.asarray(_int_matrix(x.shape[h_axis], oh, method))
-    Mw = jnp.asarray(_int_matrix(x.shape[w_axis], ow, method))
+    Mh = jnp.asarray(_int_matrix(x.shape[h_axis], oh, method, None, pb))
+    Mw = jnp.asarray(_int_matrix(x.shape[w_axis], ow, method, None, pb))
     # Pillow: horizontal pass first, uint8 intermediate, then vertical.
     y = jnp.moveaxis(x, w_axis, -1)
-    y = _pass_last_int(y, Mw)
+    y = _pass_last_int(y, Mw, pb)
     y = jnp.moveaxis(y, -1, w_axis)
     y = jnp.moveaxis(y, h_axis, -1)
-    y = _pass_last_int(y, Mh)
+    y = _pass_last_int(y, Mh, pb)
     return jnp.moveaxis(y, -1, h_axis)

@@ -509,3 +509,88 @@ def test_digit_pass_mid_dynamic_multi_tile_chunk():
         inter, jnp.asarray(ds[0]), jnp.asarray(db[0]), jnp.asarray(dc[0]),
         OH, clip=_needs_clip(H, OH, "bicubic")))
     np.testing.assert_array_equal(got, ref)
+
+
+# ---------------------------------------------------------------------------
+# 2-digit pb=14 dial (round 5): MaxAbsE <= 1 at 2/3 the MXU work
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic", "lanczos3"])
+def test_digits2_within_one_of_pillow(mode):
+    """resize_pil_exact(digits=2): the pb=14 two-digit grid stays within
+    +-1 of Pillow everywhere (guaranteed by |e| < 2^22, see
+    benchmarks/digit2_study.py), while digits=3 stays byte-exact."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.ops.pil_exact import resize_pil_exact
+
+    rng_ = np.random.default_rng(5)
+    img = rng_.integers(0, 256, (3, 97, 131), dtype=np.uint8)
+    hwc = np.moveaxis(img, 0, -1)
+    res = {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC,
+           "lanczos3": Image.LANCZOS}[mode]
+    ref = np.moveaxis(np.asarray(Image.fromarray(hwc).resize((53, 41), res)),
+                      -1, 0)
+    g3 = np.asarray(resize_pil_exact(jnp.asarray(img), (41, 53), method=mode))
+    g2 = np.asarray(resize_pil_exact(jnp.asarray(img), (41, 53), method=mode,
+                                     digits=2))
+    np.testing.assert_array_equal(g3, ref)
+    assert np.abs(g2.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_digits2_pallas_whole_image_matches_xla(rng):
+    """The 2-digit Pallas whole-image kernel (interpret mode on CPU) is
+    bit-identical to the 2-digit XLA fallback — the dial changes the
+    GRID, not the kernel-vs-fallback agreement."""
+    from interpolate_antialiasing_tpu.ops.pil_exact import (
+        _resize_pil_exact_pallas,
+        _int_matrix,
+        _pass_last_int,
+    )
+
+    img = rng.integers(0, 256, (2, 64, 80), dtype=np.uint8)
+    x = jnp.asarray(img)
+    got = np.asarray(_resize_pil_exact_pallas(x, 30, 40, "bilinear",
+                                              pb=14, ndig=2))
+    Mw = jnp.asarray(_int_matrix(80, 40, "bilinear", None, 14))
+    Mh = jnp.asarray(_int_matrix(64, 30, "bilinear", None, 14))
+    ref = _pass_last_int(x, Mw, 14)
+    ref = jnp.moveaxis(_pass_last_int(jnp.moveaxis(ref, -2, -1), Mh, 14),
+                       -1, -2)
+    np.testing.assert_array_equal(got, np.asarray(ref))
+
+
+def test_digits2_wide_window_falls_back_to_exact(monkeypatch):
+    """Tap counts beyond the +-1 admission (ntaps > 57) silently upgrade
+    back to the exact 3-digit grid — never a silent accuracy cliff."""
+    from PIL import Image
+
+    from interpolate_antialiasing_tpu.ops.pil_exact import resize_pil_exact
+
+    rng_ = np.random.default_rng(6)
+    img = rng_.integers(0, 256, (800, 64), dtype=np.uint8)
+    # 800 -> 16 rows, lanczos3: ntaps = ceil(3*50)*2+1 = 301 > 57
+    ref = np.asarray(Image.fromarray(img).resize((64, 16), Image.LANCZOS))
+    got = np.asarray(resize_pil_exact(jnp.asarray(img), (16, 64),
+                                      method="lanczos3", digits=2))
+    np.testing.assert_array_equal(got, ref)  # byte-exact: it ran 3-digit
+
+
+def test_digits_env_dial(monkeypatch):
+    """IA_TPU_PIL_DIGITS steers the default at trace time."""
+    from interpolate_antialiasing_tpu.config import default_pil_digits
+
+    monkeypatch.delenv("IA_TPU_PIL_DIGITS", raising=False)
+    assert default_pil_digits() == 3
+    monkeypatch.setenv("IA_TPU_PIL_DIGITS", "2")
+    assert default_pil_digits() == 2
+    monkeypatch.setenv("IA_TPU_PIL_DIGITS", "7")
+    with pytest.raises(ValueError):
+        default_pil_digits()
+
+
+def test_digits_validation():
+    from interpolate_antialiasing_tpu.ops.pil_exact import resize_pil_exact
+
+    with pytest.raises(ValueError):
+        resize_pil_exact(jnp.zeros((8, 8), jnp.uint8), (4, 4), digits=1)
