@@ -62,13 +62,17 @@ FLOAT_TILE_FIXED_COST = 0
 TILE_W_FIXED_COST = 128 * 128 * 128
 
 #: Whether the float streamed W pass uses the cost-model pick by default.
-#: Flipped ON by the round-4 on-chip session (2026-08-19): the end-to-end
-#: float_4k_bf16_wpass sweep measured width 120 at 1.1768 ms vs the old
-#: 128 default's 1.2304 ms (-4.4%) — the same drop-a-K-pass effect the
-#: int8 probes measured — and the model's pick at that geometry IS 120
-#: (pallas_resize._pick_tile_w_float).  ``IA_TPU_FLOAT_TILE_W`` remains
-#: the sweep override; benchmarks/retune.py re-validates the pick.
-FLOAT_W_MODEL_DEFAULT = True
+#: Round 4 flipped this ON (the end-to-end float_4k_bf16_wpass sweep
+#: measured width 120 at 1.1768 ms vs 128's 1.2304 — the drop-a-K-pass
+#: effect).  Round 5 flipped it back OFF: the model counts only MXU
+#: passes, but a sub-128 tile forces the lane-compaction epilogue
+#: (compact_lanes + W slice — a full extra pass over the output at HBM
+#: rate), while tile 128 lets the streamed kernel emit RAGGED slice-free
+#: output with no epilogue at all.  Measured on-chip (2026-08-20,
+#: config-5 bf16 4K->HD b64): model pick 120 + epilogue = 5.05 ms;
+#: tile 128 ragged = 3.81 ms (-25%).  The 4.4% K-pass saving cannot beat
+#: that.  ``IA_TPU_FLOAT_TILE_W`` remains the sweep override.
+FLOAT_W_MODEL_DEFAULT = False
 
 
 def round_up(x: int, m: int) -> int:

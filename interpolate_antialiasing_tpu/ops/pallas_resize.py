@@ -1349,14 +1349,14 @@ def _stream_chunk_plan(btw, Wp: int, tiles_per_chunk: int) -> _StreamChunkPlan:
 
 
 def _streamed_vmem(x_dtype, out_dtype, inter_dtype, ccols, tiles_per_chunk,
-                   btw, bth, bsz: int = 1) -> int:
+                   btw, bth, bsz: int = 1, slots: int = 2) -> int:
     ib = jnp.dtype(x_dtype).itemsize
     k_rows = bth.k_in
     # btw.band is lane-padded to 128 when btw.tile < 128 (fixed lane
     # pitch, _tiles_stream_w_cached) — count the stored width, not tile
     band_bytes = (btw.n_tiles * btw.k_in * btw.band.shape[-1]
                   + bth.n_tiles * bth.k_in * bth.tile) * 4
-    win = 2 * bsz * k_rows * ccols * ib
+    win = slots * bsz * k_rows * ccols * ib
     inter = (bsz * k_rows * tiles_per_chunk * _LANE
              * jnp.dtype(inter_dtype).itemsize)
     outb = (2 * bsz * bth.tile * tiles_per_chunk * _LANE
@@ -1381,6 +1381,31 @@ def _stream_bsz(B, plan, x_dtype, out_dtype, inter_dtype, btw, bth,
         ) <= budget:
             return bsz
     return 1
+
+
+def _stream_slots(plan, x_dtype, out_dtype, inter_dtype, btw, bth,
+                  bsz: int) -> int:
+    """Window-DMA pipeline depth (the kernel handles any depth >= 2).
+
+    Round-5 on-chip ablations (config-5 bf16 4K) found the route's real
+    overhead was the XLA epilogue (lane compaction + output slice), NOT
+    unhidden DMA latency: with the ragged slice-free output in place,
+    depths 2/3/4 measure within noise of each other (3.81-3.88 ms),
+    while the VMEM a deeper pipeline consumes is better spent on ``bsz``
+    (more images per step amortise the ~1 us fixed step cost).  Default
+    2; ``IA_TPU_STREAM_SLOTS`` overrides for sweeps."""
+    import os
+
+    v = os.environ.get("IA_TPU_STREAM_SLOTS")
+    if v:
+        slots = max(2, int(v))
+        while slots > 2 and _streamed_vmem(
+            x_dtype, out_dtype, inter_dtype, plan.ccols,
+            plan.tiles_per_chunk, btw, bth, bsz, slots,
+        ) > _VMEM_BUDGET:
+            slots -= 1
+        return slots
+    return 2
 
 
 def _stream_plan(x_dtype, out_dtype, inter_dtype, Wp, btw, bth):
@@ -1441,6 +1466,7 @@ def _kernel_2pass_streamed(
     T = jnp.int32(pl.num_programs(1))
     C = jnp.int32(pl.num_programs(2))
     step = (b * T + t) * C + c
+    slots = win.shape[0]  # DMA pipeline depth (see _stream_slots)
 
     def dma(slot, b_i, t_i, c_i):
         slot = jnp.int32(slot)  # a bare 0 would lower i64 under x64
@@ -1454,21 +1480,32 @@ def _kernel_2pass_streamed(
             sem.at[slot],
         )
 
+    def idx_at(k):
+        # grid indices of step + k (row-major over (B, T, C))
+        nc = jax.lax.rem(c + jnp.int32(k), C)
+        tc = t + (c + jnp.int32(k)) // C
+        nt = jax.lax.rem(tc, T)
+        nb = b + tc // T
+        return nb, nt, nc
+
+    # Fill the pipeline at step 0: windows for steps 0..slots-2.  In
+    # steady state each step issues the window slots-1 ahead, so slots-1
+    # DMAs are always in flight — enough to hide the ~5 us per-transfer
+    # latency the 2-slot double buffer exposed (round-5 ablation; the
+    # compute body alone is shorter than latency + transfer).
     @pl.when(step == 0)
     def _():
-        dma(0, b, t, c).start()
+        for k in range(slots - 1):
+            @pl.when(jnp.int32(k) < B * T * C)
+            def _(k=k):
+                dma(k % slots, *idx_at(k)).start()
 
-    # prefetch the next step's window while this one computes
-    nc = jax.lax.rem(c + jnp.int32(1), C)
-    tc = t + (c + jnp.int32(1)) // C
-    nt = jax.lax.rem(tc, T)
-    nb = b + tc // T
-
-    @pl.when(step + 1 < B * T * C)
+    @pl.when(step + (slots - 1) < B * T * C)
     def _():
-        dma(jax.lax.rem(step + jnp.int32(1), jnp.int32(2)), nb, nt, nc).start()
+        dma(jax.lax.rem(step + jnp.int32(slots - 1), jnp.int32(slots)),
+            *idx_at(slots - 1)).start()
 
-    slot = jax.lax.rem(step, jnp.int32(2))
+    slot = jax.lax.rem(step, jnp.int32(slots))
     dma(slot, b, t, c).wait()
 
     # One static branch per column chunk: its W tiles have static offsets
@@ -1567,6 +1604,8 @@ def resize2d_streamed(
         plan = _stream_chunk_plan(btw, Wp, max_tiles_per_chunk)
     C, CT = plan.n_chunks, plan.tiles_per_chunk
     bsz = _stream_bsz(B, plan, x.dtype, out_dtype, inter_dtype, btw, bth)
+    slots = _stream_slots(plan, x.dtype, out_dtype, inter_dtype, btw, bth,
+                          bsz)
     starts_h = jnp.asarray(bth.starts, dtype=jnp.int32)
     col_starts = jnp.asarray(plan.col_starts, dtype=jnp.int32)
     ib = x.dtype.itemsize
@@ -1608,15 +1647,13 @@ def resize2d_streamed(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, bsz, bth.k_in, plan.ccols), x.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((slots, bsz, bth.k_in, plan.ccols), x.dtype),
+                pltpu.SemaphoreType.DMA((slots,)),
             ],
         )
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct(
-                (B, bth.out_padded, C * CT * _LANE), out_dtype
-            ),
+            out_shape=jax.ShapeDtypeStruct((B, OH, ow_kernel), out_dtype),
             grid_spec=grid_spec,
             cost_estimate=pl.CostEstimate(
                 flops=2 * B * T * bth.k_in * (btw.k_in * btw.out_padded
@@ -1629,6 +1666,14 @@ def resize2d_streamed(
         )(starts_h, col_starts, x3, jnp.asarray(btw.band),
           jnp.asarray(bth.band))
 
+    # Ragged slice-free output (round 5): rows are emitted at OH directly
+    # (pallas clips the last H block's store), and with full-width W tiles
+    # the lane dim is emitted at OW too — no compact_lanes pass, no final
+    # slice copy.  The r4 epilogue (padded out + compaction + slice) cost
+    # a full extra pass over the output at HBM rate: 5.05 -> 3.81 ms on
+    # config-5 (on-chip ablation series, docs/BENCHMARKS.md round 5).
+    # Sub-128 W tiles (env-forced) still need the compaction epilogue.
+    ow_kernel = OW if btw.tile == _LANE else C * CT * _LANE
     tracing = isinstance(x3, jax.core.Tracer)
     while True:
         try:
@@ -1639,8 +1684,9 @@ def resize2d_streamed(
                 raise
             bsz = _stream_bsz(B, plan, x.dtype, out_dtype, inter_dtype,
                               btw, bth, max_bsz=bsz - 1)
-    y = compact_lanes(y, btw.tile)
-    return y[:, :OH, :OW].reshape(*lead, OH, OW)
+    if btw.tile != _LANE:
+        y = compact_lanes(y, btw.tile)[:, :, :OW]
+    return y.reshape(*lead, OH, OW)
 
 
 def transpose_supported(g: jax.Array, spec: AxisSpec, axis: int) -> bool:

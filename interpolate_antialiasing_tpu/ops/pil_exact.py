@@ -1051,11 +1051,14 @@ def _pil_streamed_call(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # Ragged rows (round 5, cf. pallas_resize.resize2d_streamed): emit OH
+    # directly — pallas clips the last H tile's store — so the row slice
+    # (and its full-output copy at HBM rate) disappears from the epilogue.
+    # The W lanes stay padded: the sub-128 W tiles the int8 K model picks
+    # still need the one compact_lanes pass.
     y = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct(
-            (B, bth.out_padded, C * CT * 128), jnp.uint8
-        ),
+        out_shape=jax.ShapeDtypeStruct((B, oh, C * CT * 128), jnp.uint8),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * ndig * B * T * bth.k_in * (btw.k_in + 128) * btw.out_padded,
@@ -1073,7 +1076,7 @@ def _pil_streamed_call(
     # lanes ONCE, on the final uint8 array (shared helper — an XLA strided
     # slice at HBM stream rate, ~us at HD, vs the whole dropped MXU K pass
     # the narrow tile buys, ~100s of us).
-    return compact_lanes(y, btw.tile)[:, :oh, :ow]
+    return compact_lanes(y, btw.tile)[:, :, :ow]
 
 
 def _reduce_grids(span: int, out: int, f: int) -> np.ndarray:
