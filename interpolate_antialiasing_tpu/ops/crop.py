@@ -186,10 +186,28 @@ def crop_and_resize(
     # Eligibility derived from the filter function's sign (crop matrices
     # are traced, so the matrix itself can't be inspected at trace time) —
     # no hand-maintained mode list; see filters.filter_is_nonnegative.
-    quant_inter = split and filter_is_nonnegative(
+    eff_mode = (
         "bicubic075" if not antialias and get_filter(method).name in
         CUBIC_NAMES else method
     )
+    quant_inter = split and filter_is_nonnegative(eff_mode)
+    # Round 5: the same u8 calls promote further, to TWO-digit int8 MXU
+    # contractions (pb=14) — v5e's int8 matmul path runs ~2x the bf16
+    # rate and each pass needs 2 digit matmuls vs 2 bf16 split passes at
+    # half the rate, so useful throughput doubles (measured: the b64
+    # 438x906->224 crop drops 1.171 -> ~0.6 ms).  Admission is
+    # crop_pallas._digit_plan's +-1 bound (worst-case tap count <= 57
+    # from max_box_frac); wider windows keep the split-bf16 route.
+    use_digits = False
+    if quant_inter:
+        from .crop_pallas import _digit_plan, _fracs
+
+        fh_, fw_ = _fracs(max_box_frac)
+        support = get_filter(eff_mode).support
+        use_digits = (
+            _digit_plan(H, oh, support, antialias, fh_)[1] == 2
+            and _digit_plan(W, ow, support, antialias, fw_)[1] == 2
+        )
 
     def one(img, box):
         y0, x0, y1, x1 = box[0] * H, box[1] * W, box[2] * H, box[3] * W
@@ -231,7 +249,72 @@ def crop_and_resize(
         return jnp.einsum("uj,coj->cou", Ww, t,
                           precision=jax.lax.Precision.HIGHEST)
 
-    y = jax.vmap(one)(xf, b)
+    PB = 14
+    HALF = jnp.int32(1 << (PB - 1))
+
+    def _digitize(Wm):
+        # traced 2-digit pb=14 quantisation (round-half-away, matching
+        # crop_pallas._digitize_band); rows are non-negative here, so the
+        # int32 accumulators cannot wrap (taps*255*2^14 << 2^31)
+        scaled = Wm * jnp.float32(1 << PB)
+        K = jnp.where(scaled < 0, scaled - 0.5, scaled + 0.5).astype(jnp.int32)
+        d0 = ((K + 128) % 256) - 128
+        d1 = jax.lax.shift_right_arithmetic(K - d0, jnp.int32(8))
+        return (d0.astype(jnp.int8), d1.astype(jnp.int8),
+                jnp.sum(K, axis=-1, dtype=jnp.int32))
+
+    def one_digits(img_u8, box):
+        # signed pixels xs = x - 128 keep the operand in int8; the
+        # per-row bias 128*rowsum(K) + rounding constant restores the
+        # unsigned fixed-point accumulate (the pil_exact digit identity).
+        #
+        # Both contractions run over the operand's MINOR dim (W pass
+        # first on [C, H, W], then H pass on its [ow, C, H] output) — a
+        # strided contraction dim forces a relayout that measured 3x on
+        # the int8 MXU dot (0.713 vs ~0.23 ms at b64, round-5 trace).
+        # Clip-free by admission: non-negative rows with ntaps <= 57 keep
+        # (255*ntaps/2 + 2^(PB-1)) < 2^PB, so the shifted value is always
+        # in [0, 255] (the _needs_clip argument at pb=14) — and the
+        # re-centred intermediate fits int8 exactly, so a plain cast
+        # replaces the clip+bitcast chain on the big intermediates.
+        y0, x0, y1, x1 = box[0] * H, box[1] * W, box[2] * H, box[3] * W
+        Wh = _axis_matrix(y0, y1, H, oh, method, antialias)  # [oh, H]
+        Ww = _axis_matrix(x0, x1, W, ow, method, antialias)  # [ow, W]
+        h0, h1, hsum = _digitize(Wh)
+        w0, w1, wsum = _digitize(Ww)
+        # materialise the digit planes before the dots: without the
+        # barrier XLA fuses the digitise chain into the matmul operand
+        # and recomputes it per MXU tile (round-5 trace: the W pass ran
+        # 0.67 ms in context vs 0.27 ms isolated — 2.5x of pure fusion
+        # pathology)
+        h0, h1, w0, w1 = jax.lax.optimization_barrier((h0, h1, w0, w1))
+        xs = jax.lax.bitcast_convert_type(img_u8 ^ jnp.uint8(128), jnp.int8)
+        SW = (
+            jax.lax.shift_left(
+                jnp.einsum("uw,chw->uch", w1, xs,
+                           preferred_element_type=jnp.int32),
+                jnp.int32(8),
+            )
+            + jnp.einsum("uw,chw->uch", w0, xs,
+                         preferred_element_type=jnp.int32)
+            + (jnp.int32(128) * wsum + HALF - jnp.int32(128 << PB))[
+                :, None, None]
+        )
+        ts = jax.lax.shift_right_arithmetic(SW, jnp.int32(PB)).astype(jnp.int8)
+        SH = (
+            jax.lax.shift_left(
+                jnp.einsum("oi,uci->ouc", h1, ts,
+                           preferred_element_type=jnp.int32),
+                jnp.int32(8),
+            )
+            + jnp.einsum("oi,uci->ouc", h0, ts,
+                         preferred_element_type=jnp.int32)
+            + (jnp.int32(128) * hsum + HALF)[:, None, None]
+        )
+        v = jax.lax.shift_right_arithmetic(SH, jnp.int32(PB))  # [oh, ow, C]
+        return jnp.transpose(v, (2, 0, 1)).astype(jnp.float32)
+
+    y = jax.vmap(one_digits)(x, b) if use_digits else jax.vmap(one)(xf, b)
     # library-wide storage-dtype policy (resize._finalize_dtype): integer
     # targets round floor(v+0.5) + clamp to the dtype range, floats cast
     # back to the input's storage dtype (previously any non-uint8 input

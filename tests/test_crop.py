@@ -356,3 +356,46 @@ def test_random_resized_crop_windowed_consistent(rng):
     yd = np.asarray(crop_and_resize(x, boxes, (32, 32), use_windowed=False), int)
     yw = np.asarray(crop_and_resize_windowed(x, boxes, (32, 32)), int)
     assert np.abs(yd - yw).max() <= 1
+
+
+def test_digit_route_matches_f64_oracle(rng, monkeypatch):
+    """The round-5 two-digit int8 dense route (the on-TPU default for u8 +
+    non-negative filters) stays within +-1 of the f64 oracle — forced on
+    here off-chip by patching the TPU gate."""
+    from interpolate_antialiasing_tpu.ops import crop as crop_mod
+    from interpolate_antialiasing_tpu.ops import resize as resize_mod
+
+    monkeypatch.setattr(resize_mod, "_on_tpu", lambda: True)
+    x = jnp.asarray(rng.integers(0, 256, (3, 3, 57, 73), np.uint8))
+    boxes = jnp.asarray(
+        np.stack([
+            [0.05, 0.1, 0.9, 0.95],
+            [0.0, 0.0, 1.0, 1.0],
+            [0.33, 0.21, 0.66, 0.79],
+        ]).astype(np.float32)
+    )
+    y = np.asarray(ia.crop_and_resize(x, boxes, (24, 31), use_windowed=False))
+    o = np.asarray(ia.crop_and_resize(
+        x.astype(jnp.float64), boxes.astype(jnp.float64), (24, 31),
+        use_windowed=False,
+    ))
+    oq = np.clip(np.floor(o + 0.5), 0, 255)
+    assert np.abs(y.astype(np.float64) - oq).max() <= 1
+
+
+def test_digit_route_declined_for_negative_lobes(rng, monkeypatch):
+    """bicubic (negative lobes) must NOT take the int8 digit route — the
+    quantised intermediate is only +-1-safe for non-negative rows; the
+    output must still match the float route closely."""
+    from interpolate_antialiasing_tpu.ops import resize as resize_mod
+
+    monkeypatch.setattr(resize_mod, "_on_tpu", lambda: True)
+    x = jnp.asarray(rng.integers(0, 256, (2, 3, 48, 62), np.uint8))
+    boxes = jnp.asarray(np.array([[0.1, 0.1, 0.9, 0.9]] * 2, np.float32))
+    y = np.asarray(ia.crop_and_resize(x, boxes, (20, 26), method="bicubic",
+                                      use_windowed=False))
+    o = np.asarray(ia.crop_and_resize(
+        x.astype(jnp.float64), boxes.astype(jnp.float64), (20, 26),
+        method="bicubic", use_windowed=False,
+    ))
+    assert np.abs(y.astype(np.float64) - np.clip(np.floor(o + 0.5), 0, 255)).max() <= 1
