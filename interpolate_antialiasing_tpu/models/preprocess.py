@@ -144,16 +144,18 @@ class ImageNetTrainPipeline:
 
         k_crop, k_flip = jax.random.split(key)
         # Keep uint8 through the crop: crop_and_resize's uint8 path runs
-        # the dominant contraction as split-bf16 with a quantised
-        # intermediate (2.5x the f32-HIGHEST route on-chip) and quantises
-        # back to u8 — the same thing torchvision's PIL-backend
-        # RandomResizedCrop produces. The flip then moves 1 byte/px.
+        # the dominant contraction as 2-digit int8 MXU matmuls (round 5)
+        # and quantises back to u8 — the same thing torchvision's
+        # PIL-backend RandomResizedCrop produces.  The random horizontal
+        # flip folds INTO the crop's W weight matrix (reversed rows) —
+        # identical output, no extra image pass.
+        flip = jax.random.bernoulli(
+            k_flip, self.flip_prob, (batch_u8.shape[0],)
+        )
         y = random_resized_crop(
             k_crop, batch_u8, self.size, scale=self.scale, ratio=self.ratio,
-            method=self.method,
+            method=self.method, flip=flip,
         )
-        flip = jax.random.bernoulli(k_flip, self.flip_prob, (y.shape[0],))
-        y = jnp.where(flip[:, None, None, None], y[..., ::-1], y)
         y = y.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
         mean = jnp.asarray(self.mean, jnp.float32).reshape(1, -1, 1, 1)
         std = jnp.asarray(self.std, jnp.float32).reshape(1, -1, 1, 1)

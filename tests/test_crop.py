@@ -399,3 +399,25 @@ def test_digit_route_declined_for_negative_lobes(rng, monkeypatch):
         method="bicubic", use_windowed=False,
     ))
     assert np.abs(y.astype(np.float64) - np.clip(np.floor(o + 0.5), 0, 255)).max() <= 1
+
+
+def test_flip_folds_into_weights(rng, monkeypatch):
+    """crop_and_resize(flip=mask) equals flipping the output afterwards —
+    on the float route exactly, and on the forced digit route bit-for-bit
+    (reversing Ww's rows commutes with the per-row quantisation)."""
+    from interpolate_antialiasing_tpu.ops import resize as resize_mod
+
+    x = jnp.asarray(rng.integers(0, 256, (4, 3, 40, 56), np.uint8))
+    boxes = jnp.asarray(
+        np.array([[0.1, 0.05, 0.9, 0.8]] * 4, np.float32))
+    flip = jnp.asarray([True, False, True, False])
+    a = ia.crop_and_resize(x, boxes, (16, 24), flip=flip)
+    base = ia.crop_and_resize(x, boxes, (16, 24))
+    want = jnp.where(flip[:, None, None, None], base[..., ::-1], base)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(want))
+    # digit route (forced via the TPU gate)
+    monkeypatch.setattr(resize_mod, "_on_tpu", lambda: True)
+    a2 = ia.crop_and_resize(x, boxes, (16, 24), flip=flip, use_windowed=False)
+    b2 = ia.crop_and_resize(x, boxes, (16, 24), use_windowed=False)
+    w2 = jnp.where(flip[:, None, None, None], b2[..., ::-1], b2)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(w2))
