@@ -253,9 +253,11 @@ def test_fuzz_crop_windowed_boxes_near_edges(rng, method):
 
 
 def test_signed_int_and_f16_random_geometries(rng):
-    """Round-4 dtype policy over random geometries: i16/i32 resizes equal
-    the f32 route rounded floor(v+0.5)+clamped, f16 equals the f32 route
-    cast — on every mode the auto router can pick at these sizes."""
+    """Dtype policy over random geometries (round-5 depth rule): i16
+    equals the f32 route rounded floor(v+0.5)+clamped, i32 equals the
+    F64 route (wide ints compute in f64 under x64 — f32 cannot represent
+    pixels above 2^24), f16 equals the f32 route cast — on every mode
+    the auto router can pick at these sizes."""
     for i in range(10):
         h, w = int(rng.integers(3, 200)), int(rng.integers(3, 200))
         oh, ow = int(rng.integers(1, 150)), int(rng.integers(1, 150))
@@ -273,7 +275,9 @@ def test_signed_int_and_f16_random_geometries(rng):
             x = rng.integers(max(info.min, -10**6), min(info.max, 10**6),
                              (1, 2, h, w)).astype(dt)
             y = ia.resize(jnp.asarray(x), (oh, ow), method=mode)
-            ref = ia.resize(jnp.asarray(x, jnp.float32), (oh, ow), method=mode)
+            fdt = jnp.float32 if dt == np.int16 else jnp.float64
+            ref = ia.resize(jnp.asarray(x, fdt), (oh, ow), method=mode,
+                            backend="dense" if dt == np.int32 else None)
             want = np.clip(np.floor(np.asarray(ref) + 0.5),
                            info.min, info.max).astype(dt)
             assert y.dtype == jnp.dtype(dt)

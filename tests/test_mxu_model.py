@@ -96,21 +96,24 @@ def test_float_tile_h_picks_pinned(monkeypatch):
             i, o)
 
 
-def test_float_w_model_default_on_picks_120(monkeypatch):
-    """Round-4 flip (VERDICT r3 ask #5): with FLOAT_W_MODEL_DEFAULT on,
-    the float streamed W pass defaults to the cost-model pick — 120 at
-    the swept bf16 4K geometry (measured 1.1768 ms vs 1.2304 at 128)."""
+def test_float_w_model_default_off_keeps_128(monkeypatch):
+    """Round-5 flip-back: the cost model counts only MXU passes, but a
+    sub-128 W tile forces the compact_lanes epilogue while tile 128
+    enables the ragged slice-free output (measured 5.05 vs 3.81 ms on
+    config-5) — so the model default is OFF and the streamed W pass
+    stays at 128 unless env-forced.  The model function itself still
+    picks 120 at the swept geometry (kept for sweeps)."""
     monkeypatch.delenv("IA_TPU_FLOAT_TILE_W", raising=False)
     from interpolate_antialiasing_tpu.ops import mxu_model
     from interpolate_antialiasing_tpu.ops import pallas_resize as pr
 
-    assert mxu_model.FLOAT_W_MODEL_DEFAULT is True
+    assert mxu_model.FLOAT_W_MODEL_DEFAULT is False
     sh = w.make_axis_spec(2160, 720, "bilinear")
     sw = w.make_axis_spec(3840, 1280, "bilinear")
-    assert pr._pick_tile_w_float(sw, sh) == 120
+    assert pr._pick_tile_w_float(sw, sh) == 120  # the model, if enabled
     pr._tiles_stream_w_cached.cache_clear()
     bt = pr._tiles_stream_w_cached(sw, sh)
-    assert bt.tile == 120
+    assert bt.tile == 128  # default route: full-width, slice-free output
     pr._tiles_stream_w_cached.cache_clear()
 
 
