@@ -139,6 +139,19 @@ def main() -> None:
     sustained_s = dev_s if dev_s else marginal_s
     mpix = batch * oh * ow / sustained_s / 1e6
 
+    # informational extra: the round-5 2-digit dial (MaxAbsE <= 1) — the
+    # headline metric stays the byte-exact default route
+    dial_ms = None
+    try:
+        from interpolate_antialiasing_tpu.ops.pil_exact import resize_pil_exact
+
+        fn2 = lambda t: resize_pil_exact(t, (oh, ow), digits=2)
+        d2 = device_time_per_call(fn2, x, iters=hi_iters)
+        if d2:
+            dial_ms = round(d2 * 1e3, 3)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -150,6 +163,7 @@ def main() -> None:
                 "timing_method": "profiler-device-time" if dev_s else "two-point",
                 "ms_per_batch_two_point": round(marginal_s * 1e3, 3),
                 "ms_per_batch_incl_host_sync": round(r_hi.seconds * 1e3, 3),
+                "ms_per_batch_2digit_dial": dial_ms,
                 "platform": detail,
             }
         )
