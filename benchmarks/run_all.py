@@ -164,6 +164,28 @@ def main():
         64 * 224 * 224,
     )
 
+    # 2d. scale_and_translate (jax.image drop-in, round 5): static affine
+    # params ride the banded primitives; jax.image alongside for context
+    xs_f = xf[:8]
+    st_shape = (8, 3, 320, 196)
+    report(
+        "scale_and_translate-b8[ia]",
+        lambda t: ia.scale_and_translate(
+            t, st_shape, (2, 3), (320 / 438, 196 / 906 * 1.02), (2.5, -3.25),
+            "cubic"),
+        xs_f,
+        8 * 320 * 196,
+    )
+    report(
+        "scale_and_translate-b8[jax.image]",
+        lambda t: jax.image.scale_and_translate(
+            t, st_shape, (2, 3),
+            jnp.array([320 / 438, 196 / 906 * 1.02], jnp.float32),
+            jnp.array([2.5, -3.25], jnp.float32), "cubic"),
+        xs_f,
+        8 * 320 * 196,
+    )
+
     # 3. ImageNet eval preprocessing: batch-64 -> 224x224 + normalise
     pipe = ImageNetEvalPipeline(size=(224, 224))
     report("imagenet-eval-b64", pipe, x, 64 * 224 * 224)
