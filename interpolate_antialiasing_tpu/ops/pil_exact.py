@@ -716,7 +716,8 @@ def _pil_streamed_vmem(ccols, tiles_per_chunk, btw, bth, bsz=1,
     )
 
 
-def _pil_stream_bsz(B: int, plan, btw, bth, max_bsz: int = 8) -> int:
+def _pil_stream_bsz(B: int, plan, btw, bth, max_bsz: int = 8,
+                    ndig: int = 3) -> int:
     """Images per grid step.  The on-chip step-count sweep (round 3)
     measured ~1.1 us of fixed cost per grid step (window-DMA setup + grid
     bookkeeping) on top of near-floor compute, so batching images into one
@@ -734,13 +735,14 @@ def _pil_stream_bsz(B: int, plan, btw, bth, max_bsz: int = 8) -> int:
             continue
         if B % bsz == 0 and _pil_streamed_vmem(
             plan.ccols, plan.tiles_per_chunk, btw, bth, bsz,
-            single_chunk=plan.n_chunks == 1,
+            single_chunk=plan.n_chunks == 1, ndig=ndig,
         ) <= budget:
             return bsz
     return 1
 
 
-def _pil_stream_plan(W, btw, bth, max_tiles: int | None = None):
+def _pil_stream_plan(W, btw, bth, max_tiles: int | None = None,
+                     ndig: int = 3):
     """Largest-chunk column plan that fits the VMEM budget, or None —
     the digit twin of pallas_resize._stream_plan (same chunk geometry:
     consecutive W tiles share one 128-aligned DMA'd column window).
@@ -761,9 +763,8 @@ def _pil_stream_plan(W, btw, bth, max_tiles: int | None = None):
     hi = btw.n_tiles if max_tiles is None else min(max_tiles, btw.n_tiles)
     for ct in range(hi, 0, -1):
         plan = _stream_chunk_plan(btw, Wp, ct)
-        if _pil_streamed_vmem(plan.ccols, plan.tiles_per_chunk, btw, bth) <= (
-            budget
-        ):
+        if _pil_streamed_vmem(plan.ccols, plan.tiles_per_chunk, btw, bth,
+                              ndig=ndig) <= budget:
             return plan
     return None
 
@@ -951,14 +952,14 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str,
     if (Hp, Wp) != (H, W):
         # zero pad rows/cols carry zero digit weight -> bit-identical
         x3 = jnp.pad(x3, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    plan = _pil_stream_plan(W, btw, bth)
+    plan = _pil_stream_plan(W, btw, bth, ndig=ndig)
     if plan is None:
         raise ValueError(
             "pil_exact streamed: no column-chunk plan fits VMEM "
             f"(W={W}, k_rows={bth.k_in})"
         )
     tracing = isinstance(x3, jax.core.Tracer)
-    bsz = _pil_stream_bsz(x3.shape[0], plan, btw, bth)
+    bsz = _pil_stream_bsz(x3.shape[0], plan, btw, bth, ndig=ndig)
     while True:
         try:
             return _pil_streamed_call(
@@ -970,7 +971,7 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str,
             if not tracing and "vmem" in str(e).lower() and bsz > 1:
                 # first rungs: step the image batching down, keep the plan
                 bsz = _pil_stream_bsz(x3.shape[0], plan, btw, bth,
-                                      max_bsz=bsz - 1)
+                                      max_bsz=bsz - 1, ndig=ndig)
                 continue
             retryable = (
                 not tracing
@@ -980,12 +981,12 @@ def _resize_pil_exact_streamed(x3: jax.Array, oh: int, ow: int, method: str,
             if not retryable:
                 raise
             plan = _pil_stream_plan(
-                W, btw, bth, max_tiles=plan.tiles_per_chunk - 1
+                W, btw, bth, max_tiles=plan.tiles_per_chunk - 1, ndig=ndig,
             )
             if plan is None:
                 raise
             # the smaller plan's windows may re-admit image batching
-            bsz = _pil_stream_bsz(x3.shape[0], plan, btw, bth)
+            bsz = _pil_stream_bsz(x3.shape[0], plan, btw, bth, ndig=ndig)
 
 
 def _pil_streamed_call(
