@@ -367,9 +367,11 @@ def _pass_last(x2, spec, fused, precision, out_dtype, tiles=None, out_size=None)
             kern = body
         else:
             kern = lambda x_ref, o_ref: body(x_ref, None, o_ref)
+        # ragged output (round 5): emit [M, out_size] directly — pallas
+        # clips the last/partial blocks' stores, so no slice-copy epilogue
         y = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((m_pad, bt.out_padded), out_dtype),
+            out_shape=jax.ShapeDtypeStruct((M, out_size), out_dtype),
             out_specs=_bspec(
                 (mt, bt.out_padded), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
@@ -384,7 +386,7 @@ def _pass_last(x2, spec, fused, precision, out_dtype, tiles=None, out_size=None)
             ),
             interpret=_interpret(),
         )(*operands)
-        return y[:M, :out_size]
+        return y
 
     mt = min(512, (_VMEM_BUDGET // 3) // max(in_pad * ibytes, 1))
     mt = max(sub, (mt // sub) * sub)
@@ -394,7 +396,8 @@ def _pass_last(x2, spec, fused, precision, out_dtype, tiles=None, out_size=None)
     grid = (m_pad // mt, bt.n_tiles)
 
     common = dict(
-        out_shape=jax.ShapeDtypeStruct((m_pad, bt.out_padded), out_dtype),
+        # ragged: [M, out_size] emitted directly (see unrolled variant)
+        out_shape=jax.ShapeDtypeStruct((M, out_size), out_dtype),
         out_specs=_bspec(
             (mt, _LANE), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
@@ -435,7 +438,7 @@ def _pass_last(x2, spec, fused, precision, out_dtype, tiles=None, out_size=None)
             cost_estimate=cost,
             **common,
         )(starts, x2, band)
-    return y[:M, :out_size]
+    return y
 
 
 def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
@@ -500,7 +503,8 @@ def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
             kern = lambda x_ref, o_ref: body(x_ref, None, o_ref)
         y = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((b_pad, bt.out_padded, w_pad2), out_dtype),
+            # ragged: [B, out_size, W] emitted directly (round 5)
+            out_shape=jax.ShapeDtypeStruct((B, out_size, W), out_dtype),
             out_specs=_bspec(
                 (bsz, bt.out_padded, wt), lambda b, k: (b, 0, k),
                 memory_space=pltpu.VMEM,
@@ -516,7 +520,7 @@ def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
             ),
             interpret=_interpret(),
         )(*operands)
-        return y[:B, :out_size, :W]
+        return y
 
     wt = min(512, (_VMEM_BUDGET // 3) // max(in_pad * ibytes, 1))
     wt = max(_LANE, (wt // _LANE) * _LANE)
@@ -527,7 +531,8 @@ def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
     grid = (B, w_pad // wt, bt.n_tiles)
 
     common = dict(
-        out_shape=jax.ShapeDtypeStruct((B, bt.out_padded, w_pad), out_dtype),
+        # ragged: [B, out_size, W] emitted directly (round 5)
+        out_shape=jax.ShapeDtypeStruct((B, out_size, W), out_dtype),
         out_specs=_bspec(
             (1, _LANE, wt), lambda b, k, j: (b, j, k), memory_space=pltpu.VMEM
         ),
@@ -572,7 +577,7 @@ def _pass_mid(x3, spec, fused, precision, out_dtype, tiles=None, out_size=None):
             cost_estimate=cost,
             **common,
         )(starts, x3, band)
-    return y[:, :out_size, :W]
+    return y
 
 
 def banded_pass_mid_dynamic(
@@ -620,7 +625,8 @@ def banded_pass_mid_dynamic(
             in_align=in_align,
             in_exact=x3.dtype in (jnp.uint8, jnp.bfloat16),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, out_padded, w_pad), out_dtype),
+        # ragged: [B, out_size, W] emitted directly (round 5)
+        out_shape=jax.ShapeDtypeStruct((B, out_size, W), out_dtype),
         out_specs=_bspec(
             (1, _LANE, wt), lambda b, k, j: (b, j, k), memory_space=pltpu.VMEM
         ),
@@ -645,7 +651,7 @@ def banded_pass_mid_dynamic(
         ),
         interpret=_interpret(),
     )(starts.astype(jnp.int32), x3, band.astype(jnp.float32))
-    return y[:, :out_size, :W]
+    return y
 
 
 def pallas_supported(x: jax.Array, spec: AxisSpec, axis: int) -> bool:
