@@ -907,23 +907,28 @@ def resize2d_pallas(
         kern2 = body2
     else:
         kern2 = lambda x_ref, o_ref: body2(x_ref, None, o_ref)
+    # ragged output (round 5): emit [B, OH, OW] directly — pallas clips
+    # the partial edge blocks — and iterate only the lane chunks that
+    # intersect OW (dead all-padding chunks dropped from the grid)
+    n_wchunks = -(-spec_w.out_size // wt)
     y = pl.pallas_call(
         kern2,
-        out_shape=jax.ShapeDtypeStruct((B, oh_pad, ow_pad), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, spec_h.out_size, spec_w.out_size), out_dtype
+        ),
         out_specs=_bspec(
             (bsz, oh_pad, wt), lambda b, k: (b, 0, k), memory_space=pltpu.VMEM
         ),
-        grid=(B // bsz, ow_pad // wt),
+        grid=(B // bsz, n_wchunks),
         in_specs=in_specs2,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * ow_pad * bth.k_in * oh_pad,
+            flops=2 * B * n_wchunks * wt * bth.k_in * oh_pad,
             bytes_accessed=B * ow_pad * (h_pad * 4 + oh_pad * ob),
             transcendentals=0,
         ),
         interpret=_interpret(),
     )(*operands2)
-    out = y[:, : spec_h.out_size, : spec_w.out_size]
-    return out.reshape(*lead, spec_h.out_size, spec_w.out_size)
+    return y.reshape(*lead, spec_h.out_size, spec_w.out_size)
 
 
 # ---------------------------------------------------------------------------
