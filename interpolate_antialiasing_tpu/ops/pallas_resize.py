@@ -1204,14 +1204,19 @@ def resize2d_onekernel_transpose(
 
 
 @functools.cache
-def _tiles_stream_cached(spec: AxisSpec) -> BandedTiles:
+def _tiles_stream_cached(spec: AxisSpec, fine: bool = False) -> BandedTiles:
     from .weights import pick_tile_h
 
     # Output tile width by the MXU K-pass cost model (see pick_tile_h).
-    # 32-multiples only: the streamed output block is BlockSpec-indexed at
-    # t*tile, and 32 satisfies every out-dtype's sublane tiling (u8 32,
-    # bf16 16, f32 8).
-    tile = pick_tile_h(spec, align=8, cands=(128, 96, 64, 32))
+    # Default cands are 32-multiples: the streamed output block is
+    # BlockSpec-indexed at t*tile, and 32 satisfies every out-dtype's
+    # sublane tiling (u8 32, bf16 16, f32 8).  ``fine=True`` (16-or-wider
+    # out dtypes only) adds 16-multiples: the round-5 config-5 sweep
+    # measured tile 48 fastest (3.691 ms vs 64's 3.871 — one 128-deep K
+    # pass AND under the 32-tile cap, which is what kept the model off
+    # 32-multiples' best pick at that geometry).
+    cands = (128, 112, 96, 80, 64, 48, 32) if fine else (128, 96, 64, 32)
+    tile = pick_tile_h(spec, align=8, cands=cands)
     return _tiles_stream_cached_at(spec, tile)
 
 
@@ -1453,7 +1458,9 @@ def resize2d_streamed_supported(
         jnp.float32 if x.dtype == jnp.uint8 else x.dtype
     )
     btw = _tiles_stream_w_cached(spec_w, spec_h)
-    bth = _tiles_stream_cached(spec_h)
+    bth = _tiles_stream_cached(
+        spec_h, fine=jnp.dtype(out_dtype).itemsize >= 2
+    )
     if btw.k_in > W or bth.k_in > _round_up(H, 8):
         return False
     if btw.n_tiles > _MAX_UNROLL_TILES:
@@ -1597,7 +1604,9 @@ def resize2d_streamed(
     H, W = x.shape[-2], x.shape[-1]
     OH, OW = spec_h.out_size, spec_w.out_size
     btw = _tiles_stream_w_cached(spec_w, spec_h)
-    bth = _tiles_stream_cached(spec_h)
+    bth = _tiles_stream_cached(
+        spec_h, fine=jnp.dtype(out_dtype).itemsize >= 2
+    )
     T = bth.n_tiles
     x3 = x.reshape(B, H, W)
     Hp, Wp = _round_up(H, 8), _round_up(W, _LANE)

@@ -223,9 +223,13 @@ def kernel_report(
         elif streamed:  # ... and the float streamed kernel (round-3 knobs)
             # pass spec_h like dispatch does (pallas_resize.py:1414) so the
             # reported W geometry cannot drift from the route once the
-            # float W cost model (mxu_model.FLOAT_W_MODEL_DEFAULT) is on
-            bt = (_tiles_stream_cached(spec) if name == "H"
-                  else _tiles_stream_w_cached(spec, spec_h))
+            # float W cost model (mxu_model.FLOAT_W_MODEL_DEFAULT) is on;
+            # the H tile mirrors the executor's dtype-aware fine cands
+            bt = (
+                _tiles_stream_cached(spec, fine=odt.itemsize >= 2)
+                if name == "H"
+                else _tiles_stream_w_cached(spec, spec_h)
+            )
         else:
             bt = banded_tiles(spec)
         nz = float((bt.band != 0).sum())
