@@ -390,18 +390,20 @@ def crop_windowed_supported(
     )
     # Windowing must save enough combined two-pass MACs to cover the
     # route's per-tile/DMA overheads, else dense's single big matmul
-    # wins.  Threshold 0.8 from the round-4 on-chip crossover (b64 ->
-    # 224^2, boxes spanning 0.6, max_box_frac 1, device time):
-    #   438x906   ratio 0.866  windowed 1.333 vs dense 1.171 ms  (loses)
-    #   720x1280  ratio 0.752  windowed 1.561 vs dense 1.754 ms  (wins)
-    #   1080x1920 ratio 0.713  2.995 vs 3.991; 1440x2560 0.715 ->
-    #   3.795 vs 5.654; 4K 0.689 -> ~7x.
-    # A tighter max_box_frac shrinks k_* and the ratio with it, so
-    # random_resized_crop-style callers admit at smaller images too.
+    # wins.  Threshold re-measured in round 5 after the dense route
+    # gained 2-digit int8 contractions (crop.py one_digits — dense got
+    # ~1.5x faster, moving the crossover): b64/b16 -> 224^2, boxes
+    # spanning 0.6, max_box_frac 1, device time:
+    #   720x1280  ratio 0.752  windowed 1.552 vs dense 1.504  (loses)
+    #   1080x1920 ratio 0.713  windowed 2.976 vs dense 2.711  (loses)
+    #   2160x3840 ratio 0.689  windowed 1.748 vs dense 1.936  (wins)
+    # (round-4 numbers for the then-slower dense route: 720p won at
+    # 0.752, 1080p at 0.713.)  A tighter max_box_frac shrinks k_* and
+    # the ratio with it, so bounded-box callers still admit earlier.
     nt_h, nt_w = -(-oh // _LANE), -(-ow // _LANE)
     mac_win = k_h * nt_h * _LANE * W + k_w * nt_w * _LANE * oh
     mac_dense = oh * H * W + ow * W * oh
-    if mac_win >= 0.8 * mac_dense:
+    if mac_win >= 0.70 * mac_dense:
         return False
     # VMEM admission, pass 1: x block (whole padded H x wt) + band + out.
     band_h_bytes = nt_h * k_h * _LANE * 4
