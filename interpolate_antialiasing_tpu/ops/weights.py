@@ -577,11 +577,16 @@ def pick_tile_h(spec: AxisSpec, align: int = 1,
     (same pick loop, PIL digit-matrix structure there, AxisSpec tables
     here); model constants and the pick loop live in ops/mxu_model.py
     (one copy for all three pickers)."""
+    import math as _math
+
     from . import mxu_model
 
     forced = mxu_model.env_tile(
         "IA_TPU_FLOAT_TILE_H",  # bench/experiment knob
-        quantum=32 if align == 8 else 8,
+        # quantum = whatever granularity the caller's candidate list is
+        # legal at (32-multiples for u8-out streamed blocks, 16 for the
+        # round-5 fine cands, 8 for unconstrained callers)
+        quantum=_math.gcd(*cands) if cands else 8,
     )
     if forced is not None:
         return forced
