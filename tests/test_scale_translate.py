@@ -159,3 +159,21 @@ def test_validation_errors(img, bad):
     with pytest.raises(ValueError):
         ia.scale_and_translate(img, kw["shape"], kw["spatial_dims"],
                                kw["scale"], kw["translation"], kw["method"])
+
+
+def test_fuzz_random_affine_params(rng):
+    """Randomised drop-in parity sweep: scales in [-2, 3] \\ {~0},
+    translations in [-15, 15], all four methods, static route."""
+    img = jnp.asarray(rng.random((1, 3, 29, 41)).astype(np.float32))
+    methods = ["linear", "cubic", "lanczos3", "lanczos5"]
+    for i in range(12):
+        sc = tuple(float(s) for s in rng.uniform(-2.0, 3.0, 2))
+        if abs(sc[0]) < 0.05 or abs(sc[1]) < 0.05:
+            continue
+        tr = tuple(float(t) for t in rng.uniform(-15.0, 15.0, 2))
+        m = methods[i % 4]
+        shape = (1, 3, int(rng.integers(5, 40)), int(rng.integers(5, 40)))
+        ref = _ref(img, shape, (2, 3), sc, tr, m)
+        got = ia.scale_and_translate(img, shape, (2, 3), sc, tr, m)
+        d = float(jnp.max(jnp.abs(ref - got)))
+        assert d < 5e-5, (sc, tr, m, shape, d)
